@@ -1,0 +1,172 @@
+"""BaM fitter: Batch-and-Match VI (arXiv:2402.14758), TPU-native.
+
+API parity with the reference ``gsmvi/bam.py:117-233`` (``BaM(D, lp, lp_g,
+use_lowrank, jit_compile)`` + ``fit(key, regf, ...) -> (mean, cov)``), with the
+internals rebuilt so the whole iteration is one compiled step:
+
+- The matrix square root runs on device (ops/bam.py similarity reformulation
+  + eigh/Newton–Schulz) instead of the reference's backend dispatch that
+  raises on TPU (``gsmvi/bam.py:19-28``).
+- The low-rank path uses the exact rank-(B+1) factor of U instead of the
+  ``scipy.sparse.linalg.svds`` host callback (``gsmvi/bam.py:10-17,104``).
+- The reference's host-side retry loop — up to ``retries`` resamples on any
+  exception (``gsmvi/bam.py:188-206``) — becomes an on-device
+  ``lax.while_loop`` that re-keys, resamples and recomputes while the proposed
+  covariance fails its (free) Cholesky validity check.
+- Jitter and symmetrization, applied on host post-hoc by the reference
+  (``gsmvi/bam.py:198-199``), are folded into the kernel: jitter lands on V's
+  diagonal and the solve form S = 2 Y^T Y is exactly symmetric by
+  construction.
+
+``regf`` must be a pure function of the iteration index (the schedules from
+``Regularizers`` qualify; see ops/bam.py for the counter-semantics mapping).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .driver import is_traceable, run_fit_loop
+from .ops.bam import Regularizers, bam_lowrank_update, bam_update  # noqa: F401 (re-export)
+from .parallel.mesh import data_sharding
+from .state import VIState, accept_or_revert, init_state
+
+
+class BaM:
+    """Fit a dense-covariance Gaussian by Batch-and-Match updates.
+
+    Parity: reference ``gsmvi/bam.py:121-138``.  ``jit_compile`` is accepted
+    for API compatibility; compilation is intrinsic here (False selects the
+    eager host loop, mainly useful for debugging non-traceable callables).
+
+    TPU-native extras mirror ``GSM``: ``mesh``/``data_axis`` shard the MC
+    batch; ``sqrt_method`` picks "eigh" (robust default) or "newton"
+    (matmul-only Newton–Schulz) for the on-device matrix root.
+    """
+
+    def __init__(self, D, lp, lp_g, use_lowrank=False, jit_compile=True,
+                 mesh=None, data_axis: str = "data", dtype=None,
+                 sqrt_method: str = "eigh"):
+        self.D = D
+        self.lp = lp
+        self.lp_g = lp_g
+        self.use_lowrank = use_lowrank
+        self.jit_compile = jit_compile
+        self.mesh = mesh
+        self.data_axis = data_axis
+        self.dtype = dtype or jnp.zeros(0).dtype
+        self.sqrt_method = sqrt_method
+
+    def _update(self, samples, vs, mean, cov, reg, jitter):
+        if self.use_lowrank:
+            return bam_lowrank_update(samples, vs, mean, cov, reg, jitter)
+        return bam_update(samples, vs, mean, cov, reg, jitter,
+                          sqrt_method=self.sqrt_method)
+
+    def _make_step(self, batch_size: int, regf, retries: int, jitter: float):
+        lp_g = self.lp_g
+        d = self.D
+        dtype = self.dtype
+        sharding = (
+            data_sharding(self.mesh, self.data_axis) if self.mesh is not None else None
+        )
+
+        def attempt(key, state):
+            key, key_sample = jax.random.split(key)
+            eps = jax.random.normal(key_sample, (batch_size, d), dtype)
+            if sharding is not None:
+                eps = jax.lax.with_sharding_constraint(eps, sharding)
+            samples = state.mean + eps @ state.chol.T
+            vs = lp_g(samples)
+            reg = jnp.asarray(regf(state.step), dtype)
+            mean_new, cov_new = self._update(samples, vs, state.mean,
+                                             state.cov, reg, jitter)
+            chol_new = jnp.linalg.cholesky(cov_new)
+            good = jnp.all(jnp.isfinite(chol_new))
+            return key, mean_new, cov_new, good
+
+        def step(state: VIState) -> VIState:
+            key, mean_new, cov_new, good = attempt(state.key, state)
+
+            if retries > 0:
+                # Reference semantics: on failure, re-key + resample up to
+                # ``retries`` times within the same iteration
+                # (``gsmvi/bam.py:188-206``), then fall through to the
+                # goodness check / revert.
+                def cond(carry):
+                    _, _, _, good, tries = carry
+                    return jnp.logical_and(~good, tries < retries)
+
+                def body(carry):
+                    key, _, _, _, tries = carry
+                    key, mean_new, cov_new, good = attempt(key, state)
+                    return key, mean_new, cov_new, good, tries + 1
+
+                key, mean_new, cov_new, good, _ = jax.lax.while_loop(
+                    cond, body,
+                    (key, mean_new, cov_new, good, jnp.zeros((), jnp.int32)),
+                )
+            return accept_or_revert(state, mean_new, cov_new, key)
+
+        return step
+
+    def _make_eager_step(self, batch_size: int, regf, retries: int, jitter: float):
+        lp_g = self.lp_g
+        d = self.D
+        dtype = self.dtype
+
+        @jax.jit
+        def sample(state):
+            key, key_sample = jax.random.split(state.key)
+            eps = jax.random.normal(key_sample, (batch_size, d), dtype)
+            return key, state.mean + eps @ state.chol.T
+
+        def eager_step(state):
+            key = state.key
+            for _ in range(max(retries, 0) + 1):
+                key, samples = sample(state._replace(key=key))
+                vs = jnp.asarray(np.asarray(lp_g(np.asarray(samples))), dtype)
+                reg = float(regf(int(state.step)))
+                mean_new, cov_new = self._update(samples, vs, state.mean,
+                                                 state.cov, reg, jitter)
+                if bool(jnp.all(jnp.isfinite(jnp.linalg.cholesky(cov_new)))):
+                    break
+            return accept_or_revert(state, mean_new, cov_new, key)
+
+        return eager_step
+
+    def fit(self, key, regf, mean=None, cov=None, batch_size=2, niter=5000,
+            nprint=10, verbose=True, check_goodness=True, monitor=None,
+            retries=10, jitter=1e-6, return_state=False):
+        """Run the fit; signature parity with reference ``gsmvi/bam.py:140``.
+
+        ``regf`` — regularizer schedule, a pure function of the iteration
+        index (see ``Regularizers``).  ``jitter`` is added to V's diagonal
+        inside the kernel each step (reference adds it to the output cov on
+        host, ``gsmvi/bam.py:198``).
+        """
+        state = init_state(key, self.D, mean, cov, self.dtype)
+        probe = jax.ShapeDtypeStruct((batch_size, self.D), self.dtype)
+        traceable = self.jit_compile and is_traceable(self.lp_g, probe)
+        if not traceable and verbose:
+            print("lp_g is not jax-traceable or jit_compile=False; using the eager host loop")
+        state = run_fit_loop(
+            self._make_step(batch_size, regf, retries, jitter),
+            state,
+            niter,
+            monitor=monitor,
+            lp=self.lp,
+            nprint=nprint,
+            verbose=verbose,
+            batch_size=batch_size,
+            use_scan=traceable,
+            eager_step=None if traceable
+            else self._make_eager_step(batch_size, regf, retries, jitter),
+        )
+        if return_state:
+            return state
+        return state.mean, state.cov

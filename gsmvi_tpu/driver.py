@@ -1,0 +1,118 @@
+"""Chunked compiled fit-loop driver shared by the GSM / BaM / ADVI fitters.
+
+The reference drives every fitter with a Python ``for`` loop that dispatches a
+jitted update per iteration and syncs to host for sampling + checks
+(``gsmvi/gsm.py:107-129``).  Here the loop body is compiled once and run as a
+``lax.scan`` in *chunks* whose boundaries are exactly the host-visible events
+(monitor checkpoints / progress prints).  Between events there are zero host
+syncs; with no monitor the entire fit is a single device computation.
+
+Chunk lengths take at most two distinct values (the event stride and a final
+remainder), so at most two XLA compilations occur per fit configuration.
+
+An *eager* fallback is provided for user callables that are not jax-traceable
+(e.g. plain-numpy ``lp_g``): detection happens up front via
+``jax.eval_shape``, mirroring the reference's support for arbitrary Python
+score functions while keeping the compiled path the default.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def is_traceable(fn: Callable, *args_shape_dtype) -> bool:
+    """True if ``fn`` can be traced by jax on the given abstract inputs."""
+    try:
+        jax.eval_shape(fn, *args_shape_dtype)
+        return True
+    except Exception:
+        return False
+
+
+def _next_event(i: int, total: int, cadences) -> int:
+    """First iteration > i that is a multiple of any cadence (or ``total``)."""
+    nxt = total
+    for c in cadences:
+        if c:
+            nxt = min(nxt, ((i // c) + 1) * c)
+    return nxt
+
+
+def run_fit_loop(
+    step: Callable,
+    state,
+    niter: int,
+    *,
+    monitor=None,
+    monitor_params: Optional[Callable] = None,
+    lp: Optional[Callable] = None,
+    nprint: int = 10,
+    verbose: bool = True,
+    batch_size: int = 1,
+    eager_step: Optional[Callable] = None,
+    use_scan: bool = True,
+):
+    """Run ``niter + 1`` update steps (reference iterates ``range(niter + 1)``,
+    ``gsmvi/gsm.py:107``) with reference-parity monitor/print semantics.
+
+    step           — pure (state) -> state, jax-traceable.
+    monitor        — optional callable with the reference hook protocol
+                     ``monitor(i, params, lp, key, nevals=...)`` honored at
+                     ``monitor.checkpoint`` cadence (``gsmvi/gsm.py:111-113``).
+    monitor_params — (state) -> params list handed to the monitor
+                     (default ``[state.mean, state.cov]``).
+    eager_step     — host-loop fallback body used when ``use_scan`` is False.
+
+    Returns the final state.
+    """
+    total = niter + 1
+    checkpoint = getattr(monitor, "checkpoint", None) if monitor is not None else None
+    if monitor_params is None:
+        monitor_params = lambda s: [s.mean, s.cov]
+
+    if use_scan:
+        @partial(jax.jit, static_argnums=1)
+        def run_chunk(s, k):
+            return jax.lax.scan(lambda c, _: (step(c), None), s, None, length=k)[0]
+    else:
+        step_fn = eager_step if eager_step is not None else step
+
+        def run_chunk(s, k):
+            for _ in range(k):
+                s = step_fn(s)
+            return s
+
+    nevals = 1  # reference bookkeeping starts at 1 (``gsmvi/gsm.py:105``)
+    # Reference prints every niter//nprint iters (``gsmvi/gsm.py:108``;
+    # ZeroDivisionError when nprint > niter — clamped here like BaM does at
+    # ``gsmvi/bam.py:177``).
+    print_every = max(1, niter // min(nprint, max(niter, 1))) if (verbose and nprint) else 0
+    cadences = (checkpoint, print_every)
+    i = 0
+    while i < total:
+        if print_every and i % print_every == 0:
+            print(f"Iteration {i} of {niter}")
+        if monitor is not None and checkpoint and i % checkpoint == 0:
+            monitor(i, monitor_params(state), lp, state.key, nevals=nevals)
+            nevals = 0
+        k = _next_event(i, total, cadences) - i
+        state = run_chunk(state, k)
+        nevals += k * batch_size
+        i += k
+    if monitor is not None:
+        # Reference issues one extra monitor call after the loop with i=niter
+        # (``gsmvi/gsm.py:131-132``).
+        monitor(niter, monitor_params(state), lp, state.key, nevals=nevals)
+    return state
+
+
+def block_state(state):
+    """Block until all state leaves are materialized (for timing/benchmarks)."""
+    jax.block_until_ready(jax.tree_util.tree_leaves(state))
+    return state

@@ -1,0 +1,42 @@
+"""Multi-host initialization helpers.
+
+Replaces the "NCCL/MPI communication backend" slot of a conventional
+distributed framework with JAX's runtime: ``jax.distributed.initialize``
+wires up all hosts of a TPU pod slice, after which ``jax.devices()`` spans the
+slice and the same mesh-sharded fit code runs unchanged (collectives ride ICI
+within a slice and DCN across slices, placed by XLA).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+
+
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None,
+                           auto: bool = False) -> bool:
+    """Initialize multi-host JAX; returns True when running distributed.
+
+    On TPU pods the arguments are discovered from the environment, so
+    ``initialize_distributed(auto=True)`` is the whole multi-host setup.
+    Explicit arguments are for non-TPU clusters.  Safe to call when already
+    initialized (no-op) and when single-process (returns False).
+    """
+    already = getattr(jax.distributed, "is_initialized", None)
+    if callable(already) and already():
+        return jax.process_count() > 1
+    if not (auto or coordinator_address or num_processes):
+        return False
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+        return jax.process_count() > 1
+    except Exception:
+        return False
