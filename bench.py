@@ -1,0 +1,99 @@
+"""Benchmark: TPU-native GSM fit throughput vs a reference-structured loop.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The baseline is the reference's *structure* re-staged faithfully on this
+machine (per SURVEY.md §6 the reference publishes no numbers, so the measurable
+baseline is its own loop architecture): per-iteration Python dispatch of a
+jitted update, host-side ``np.random.multivariate_normal`` sampling, and a
+host ``np.linalg.cholesky`` goodness check every iteration
+(``gsmvi/gsm.py:107-129``).  The candidate is this framework's compiled-scan
+fit with on-device sampling (identical math, identical per-iteration work).
+
+Config: the BASELINE.json north-star axis "iters/s at D=64-1024" — measured at
+D=256, batch 32.  Baseline iteration count is scaled down and extrapolated to
+keep total bench time bounded.
+"""
+
+import json
+import time
+
+import numpy as np
+
+D = 256
+BATCH = 32
+NITER_OURS = 2000
+NITER_BASE = 150
+
+
+def time_ours(t):
+    import jax
+    from gsmvi_tpu import GSM
+
+    gsm = GSM(D=D, lp=t.lp, lp_g=t.lp_g)
+
+    def run(niter):
+        return gsm.fit(jax.random.PRNGKey(0), niter=niter, batch_size=BATCH,
+                       verbose=False)
+
+    m, c = run(2)  # compile both chunk shapes
+    jax.block_until_ready((m, c))
+    t0 = time.perf_counter()
+    m, c = run(NITER_OURS)
+    jax.block_until_ready((m, c))
+    dt = time.perf_counter() - t0
+    return (NITER_OURS + 1) / dt, np.asarray(m)
+
+
+def time_reference_structure(t):
+    """Reference loop shape: host sampling + per-iter dispatch + host check."""
+    import jax
+    from gsmvi_tpu.ops.gsm import gsm_update
+
+    mean = np.zeros(D)
+    cov = np.eye(D)
+    key = jax.random.PRNGKey(0)
+
+    # warm the update kernel
+    s = np.random.default_rng(0).normal(size=(BATCH, D))
+    jax.block_until_ready(gsm_update(s, np.asarray(t.lp_g(s)), mean, cov))
+
+    t0 = time.perf_counter()
+    for i in range(NITER_BASE + 1):
+        key, key_sample = jax.random.split(key)
+        np.random.seed(int(jax.random.randint(key_sample, (), 0, 2**31 - 1)))
+        samples = np.random.multivariate_normal(mean=mean, cov=cov, size=BATCH)
+        vs = t.lp_g(samples)
+        mean_new, cov_new = gsm_update(samples, vs, mean, cov)
+        mean_new, cov_new = np.asarray(mean_new), np.asarray(cov_new)
+        try:
+            good = not np.isnan(np.linalg.cholesky(cov_new)).any()
+        except Exception:
+            good = False
+        if good:
+            mean, cov = mean_new, cov_new
+    dt = time.perf_counter() - t0
+    return (NITER_BASE + 1) / dt, mean
+
+
+def main():
+    import jax
+    from gsmvi_tpu.models import dense_gaussian
+
+    t = dense_gaussian(jax.random.PRNGKey(3), D)
+    ours_ips, mean_ours = time_ours(t)
+    base_ips, mean_base = time_reference_structure(t)
+
+    # sanity: both recover the target mean direction (not asserted hard here;
+    # correctness is covered by tests/)
+    print(json.dumps({
+        "metric": f"gsm_iters_per_s_d{D}_b{BATCH}",
+        "value": round(ours_ips, 2),
+        "unit": "iters/s",
+        "vs_baseline": round(ours_ips / base_ips, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

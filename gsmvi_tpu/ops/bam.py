@@ -109,7 +109,8 @@ def bam_update(samples, vs, mu0, S0, reg, jitter: float = 0.0,
         sqrt_m = spd_sqrtm(m)
     k = jnp.linalg.cholesky(eye + sqrt_m)
     y = solve_triangular(k, l.T, lower=True)
-    s = 2.0 * (y.T @ y)
+    s = y.T @ y
+    s = s + s.T  # = 2 Y^T Y, exactly symmetric under any gemm schedule
     mu = _bam_mu(mu0, xbar, gbar, s, reg)
     return mu, s
 
@@ -156,6 +157,7 @@ def bam_lowrank_update(samples, vs, mu0, S0, reg, jitter: float = 0.0):
     kc = jnp.linalg.cholesky(0.5 * (bb + bb.T))
     z = solve_triangular(kc, a.T, lower=True)            # (B+1, D)
     s = v - z.T @ z
+    s = 0.5 * (s + s.T)  # exact symmetry under any gemm schedule
     mu = _bam_mu(mu0, xbar, gbar, s, reg)
     return mu, s
 

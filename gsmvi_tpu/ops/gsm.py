@@ -19,9 +19,10 @@ matmuls plus rowwise vector arithmetic:
     S     = S0 + (A^T A - Bm^T Bm) / B      with rows a_b and b_b = a_b + dmu_b
 
 The covariance delta ``mean_b [a a^T - b b^T]`` collapses to two Gram matrices
-(`A^T A`, `Bm^T Bm`) — O(D^2) memory, 4*B*D^2 FLOPs on the MXU, and *exactly*
-symmetric output (a Gram matrix computed by one matmul is symmetric in floating
-point), unlike the reference whose covariance slowly loses symmetry.
+(`A^T A`, `Bm^T Bm`) — O(D^2) memory, 4*B*D^2 FLOPs on the MXU — followed by a
+cheap explicit symmetrization so the returned covariance is *exactly*
+symmetric under any gemm schedule, unlike the reference whose covariance
+slowly loses symmetry.
 
 The algebraic identity with the reference's per-sample form is exact; see
 tests/test_gsm_kernel.py which checks agreement against an independent
@@ -56,6 +57,7 @@ def gsm_update_stats(samples, vs, mu0, S0):
     gram_a = jnp.matmul(a.T, a, preferred_element_type=S0.dtype)
     gram_b = jnp.matmul(bm.T, bm, preferred_element_type=S0.dtype)
     ds = (gram_a - gram_b) / b
+    ds = 0.5 * (ds + ds.T)  # exact symmetry under any gemm schedule
     return dmu, ds
 
 

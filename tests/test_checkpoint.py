@@ -1,0 +1,43 @@
+"""Checkpoint/resume: saved state resumes the exact trajectory."""
+
+import jax
+import numpy as np
+
+from gsmvi_tpu import GSM
+from gsmvi_tpu.models import dense_gaussian
+from gsmvi_tpu.utils.checkpoint import load_state, save_state
+
+
+def test_save_load_roundtrip(tmp_path):
+    t = dense_gaussian(jax.random.PRNGKey(31), 6)
+    gsm = GSM(D=t.d, lp=t.lp, lp_g=t.lp_g)
+    state = gsm.fit(jax.random.PRNGKey(0), niter=20, batch_size=4,
+                    verbose=False, return_state=True)
+    path = str(tmp_path / "ckpt")
+    save_state(path, state)
+    restored = load_state(path)
+    for a, b in zip(state, restored):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resume_continues_trajectory(tmp_path):
+    """fit(40) == fit(20) -> save -> load -> fit(19 more) (41 = 40+1 updates:
+    each fit call runs niter+1 updates, so 21 + 20 == 41)."""
+    t = dense_gaussian(jax.random.PRNGKey(31), 6)
+    gsm = GSM(D=t.d, lp=t.lp, lp_g=t.lp_g)
+
+    full = gsm.fit(jax.random.PRNGKey(7), niter=40, batch_size=4,
+                   verbose=False, return_state=True)
+
+    half = gsm.fit(jax.random.PRNGKey(7), niter=20, batch_size=4,
+                   verbose=False, return_state=True)
+    path = str(tmp_path / "ckpt")
+    save_state(path, half)
+    loaded = load_state(path)
+    resumed = gsm.fit(loaded.key, mean=loaded.mean, cov=loaded.cov,
+                      niter=19, batch_size=4, verbose=False,
+                      return_state=True)
+    np.testing.assert_allclose(np.asarray(resumed.mean), np.asarray(full.mean),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(resumed.cov), np.asarray(full.cov),
+                               atol=1e-12)

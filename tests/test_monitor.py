@@ -1,0 +1,95 @@
+"""KLMonitor: hook protocol, nevals bookkeeping, forward-KL, NaN fallback."""
+
+import jax
+import numpy as np
+import pytest
+
+from gsmvi_tpu import GSM, KLMonitor
+from gsmvi_tpu.models import dense_gaussian
+from gsmvi_tpu.utils.monitors import forward_kl, reverse_kl
+
+
+@pytest.fixture(scope="module")
+def target():
+    return dense_gaussian(jax.random.PRNGKey(11), 8)
+
+
+def test_rkl_decreases_during_fit(target):
+    t = target
+    mon = KLMonitor(batch_size_kl=64, checkpoint=50)
+    gsm = GSM(D=t.d, lp=t.lp, lp_g=t.lp_g)
+    gsm.fit(jax.random.PRNGKey(2), niter=400, batch_size=8, verbose=False,
+            monitor=mon)
+    assert len(mon.rkl) == len(mon.nevals) == 10  # i=0,50,...,400 + final
+    assert mon.rkl[-1] < mon.rkl[0]
+    assert mon.rkl[-1] < 0.05
+
+
+def test_nevals_bookkeeping(target):
+    """nevals is cumulative gradient evaluations with reference semantics:
+    starts at 1, accumulates batch_size per iteration, carries offset
+    (gsmvi/gsm.py:105,123 + gsmvi/monitors.py:122-123)."""
+    t = target
+    mon = KLMonitor(batch_size_kl=8, checkpoint=10, offset_evals=100)
+    gsm = GSM(D=t.d, lp=t.lp, lp_g=t.lp_g)
+    gsm.fit(jax.random.PRNGKey(2), niter=20, batch_size=4, verbose=False,
+            monitor=mon)
+    # calls at i=0 (nevals=1), i=10 (+40), i=20 (+40), final i=20 (+4)
+    assert mon.nevals == [101, 141, 181, 185]
+
+
+def test_forward_kl_with_ref_samples(target):
+    t = target
+    ref = np.asarray(t.ref_samples(jax.random.PRNGKey(3), 1000))
+    mon = KLMonitor(batch_size_kl=32, checkpoint=100, ref_samples=ref)
+    gsm = GSM(D=t.d, lp=t.lp, lp_g=t.lp_g)
+    gsm.fit(jax.random.PRNGKey(2), niter=300, batch_size=8, verbose=False,
+            monitor=mon)
+    assert np.isfinite(mon.fkl).all()
+    assert mon.fkl[-1] < mon.fkl[0]
+
+
+def test_fkl_nan_without_ref_samples(target):
+    t = target
+    mon = KLMonitor(batch_size_kl=8, checkpoint=100)
+    gsm = GSM(D=t.d, lp=t.lp, lp_g=t.lp_g)
+    gsm.fit(jax.random.PRNGKey(2), niter=100, batch_size=2, verbose=False,
+            monitor=mon)
+    assert np.isnan(mon.fkl).all()
+    assert np.isfinite(mon.rkl).all()
+
+
+def test_exception_appends_nan(target):
+    """Invalid covariance -> NaN appended, no raise (gsmvi/monitors.py:117-120)."""
+    t = target
+    mon = KLMonitor(batch_size_kl=8, checkpoint=1)
+    bad_cov = -np.eye(t.d)
+    mon(0, [np.zeros(t.d), bad_cov], t.lp, jax.random.PRNGKey(0), nevals=1)
+    assert np.isnan(mon.rkl[-1]) and np.isnan(mon.fkl[-1])
+    assert mon.nevals == [1]
+
+
+def test_reset():
+    mon = KLMonitor(batch_size_kl=8, checkpoint=10)
+    mon.rkl = [1.0]
+    mon.reset(batch_size_kl=16, offset_evals=5)
+    assert mon.rkl == [] and mon.batch_size_kl == 16 and mon.offset_evals == 5
+
+
+def test_standalone_estimators(target):
+    t = target
+    samples = np.asarray(t.ref_samples(jax.random.PRNGKey(4), 2000))
+
+    def lpq(x):
+        return np.asarray(t.lp(x))  # q == p here
+
+    assert reverse_kl(samples, lpq, lpq) == pytest.approx(0.0)
+    assert forward_kl(samples, lpq, lpq) == pytest.approx(0.0)
+
+
+def test_monitor_returns_key(target):
+    t = target
+    mon = KLMonitor(batch_size_kl=4, checkpoint=1)
+    key = jax.random.PRNGKey(0)
+    new_key = mon(0, [np.asarray(t.mean), np.asarray(t.cov)], t.lp, key, nevals=1)
+    assert not np.array_equal(np.asarray(new_key), np.asarray(key))

@@ -1,0 +1,110 @@
+"""Multi-device correctness on the 8-way virtual CPU mesh (SURVEY.md §4e):
+sharded fits must agree with single-device fits; shard_map statistics must
+equal the unsharded computation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from gsmvi_tpu import ADVI, BaM, GSM, Regularizers
+from gsmvi_tpu.models import dense_gaussian
+from gsmvi_tpu.ops.bam import bam_batch_stats
+from gsmvi_tpu.ops.gsm import gsm_update_stats
+from gsmvi_tpu.parallel import make_mesh
+from gsmvi_tpu.parallel.sharded import (sharded_bam_stats, sharded_gsm_stats,
+                                        sharded_score_eval)
+
+
+@pytest.fixture(scope="module")
+def mesh(eight_devices):
+    return make_mesh(8)
+
+
+@pytest.fixture(scope="module")
+def target():
+    return dense_gaussian(jax.random.PRNGKey(21), 12)
+
+
+def test_sharded_gsm_fit_matches_unsharded(mesh, target):
+    """Same keys + deterministic kernels => GSPMD-sharded fit must match the
+    single-device fit to fp tolerance."""
+    t = target
+    kw = dict(niter=100, batch_size=16, verbose=False)
+    m1, c1 = GSM(D=t.d, lp=t.lp, lp_g=t.lp_g).fit(jax.random.PRNGKey(9), **kw)
+    m2, c2 = GSM(D=t.d, lp=t.lp, lp_g=t.lp_g, mesh=mesh).fit(
+        jax.random.PRNGKey(9), **kw)
+    np.testing.assert_allclose(m1, m2, atol=1e-8)
+    np.testing.assert_allclose(c1, c2, atol=1e-8)
+
+
+def test_sharded_bam_fit_matches_unsharded(mesh, target):
+    t = target
+    regf = Regularizers().linear(100.0)
+    kw = dict(niter=60, batch_size=16, verbose=False)
+    m1, c1 = BaM(D=t.d, lp=t.lp, lp_g=t.lp_g).fit(
+        jax.random.PRNGKey(9), regf=regf, **kw)
+    m2, c2 = BaM(D=t.d, lp=t.lp, lp_g=t.lp_g, mesh=mesh).fit(
+        jax.random.PRNGKey(9), regf=Regularizers().linear(100.0), **kw)
+    np.testing.assert_allclose(m1, m2, atol=1e-8)
+    np.testing.assert_allclose(c1, c2, atol=1e-8)
+
+
+def test_sharded_advi_fit_runs(mesh):
+    import optax
+    t = dense_gaussian(jax.random.PRNGKey(22), 4)
+    advi = ADVI(D=t.d, lp=t.lp, mesh=mesh)
+    mean, cov, losses = advi.fit(jax.random.PRNGKey(1), optax.adam(1e-2),
+                                 batch_size=16, niter=500, verbose=False)
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-50:]) < np.mean(losses[:50])
+
+
+def test_shard_map_gsm_stats_match(mesh, target, rng):
+    """Explicit shard_map+psum path == direct computation (oracle for the
+    GSPMD path)."""
+    t = target
+    b = 32
+    samples = jnp.asarray(rng.normal(size=(b, t.d)))
+    mu0 = jnp.asarray(rng.normal(size=t.d))
+    l = rng.normal(size=(t.d, t.d))
+    s0 = jnp.asarray(l @ l.T + np.eye(t.d))
+    vs = t.lp_g(samples)
+    dmu_ref, ds_ref = gsm_update_stats(samples, vs, mu0, s0)
+    dmu, ds = sharded_gsm_stats(mesh, t.lp_g, samples, mu0, s0)
+    np.testing.assert_allclose(dmu, dmu_ref, atol=1e-10)
+    np.testing.assert_allclose(ds, ds_ref, atol=1e-10)
+
+
+def test_shard_map_bam_stats_match(mesh, target, rng):
+    t = target
+    samples = jnp.asarray(rng.normal(size=(24, t.d)))
+    vs = t.lp_g(samples)
+    xbar_r, c_r, gbar_r, g_r = bam_batch_stats(samples, vs)
+    xbar, c, gbar, g = sharded_bam_stats(mesh, t.lp_g, samples)
+    np.testing.assert_allclose(xbar, xbar_r, atol=1e-12)
+    np.testing.assert_allclose(c, c_r, atol=1e-10)
+    np.testing.assert_allclose(gbar, gbar_r, atol=1e-12)
+    np.testing.assert_allclose(g, g_r, atol=1e-10)
+
+
+def test_sharded_score_eval(mesh, target, rng):
+    t = target
+    samples = jnp.asarray(rng.normal(size=(16, t.d)))
+    out = sharded_score_eval(mesh, t.lp_g, samples)
+    np.testing.assert_allclose(out, t.lp_g(samples), atol=1e-12)
+
+
+def test_batch_actually_sharded(mesh):
+    """The sharding constraint inside the step must propagate: check the
+    layout of a constrained batch array under jit."""
+    sharding = NamedSharding(mesh, P("data", None))
+
+    @jax.jit
+    def make():
+        x = jnp.zeros((16, 4))
+        return jax.lax.with_sharding_constraint(x, sharding)
+
+    x = make()
+    assert x.sharding.is_equivalent_to(sharding, x.ndim)
