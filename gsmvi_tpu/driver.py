@@ -26,6 +26,16 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def on_tpu() -> bool:
+    """True when the default jax device is a TPU (incl. tunneled platforms
+    whose platform name differs but whose device kind is a TPU)."""
+    try:
+        dev = jax.devices()[0]
+        return "tpu" in (dev.platform + " " + dev.device_kind).lower()
+    except Exception:
+        return False
+
+
 def is_traceable(fn: Callable, *args_shape_dtype) -> bool:
     """True if ``fn`` can be traced by jax on the given abstract inputs."""
     try:

@@ -29,8 +29,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .driver import is_traceable, run_fit_loop
+from .driver import is_traceable, on_tpu, run_fit_loop
 from .ops.gsm import gsm_update, gsm_update_stats
+from .ops.pallas.gsm_step import gsm_update_fused, pallas_supported
 from .parallel.mesh import data_sharding
 from .state import VIState, accept_or_revert, init_state
 
@@ -51,13 +52,24 @@ class GSM:
     """
 
     def __init__(self, D, lp, lp_g, mesh=None, data_axis: str = "data",
-                 dtype=None):
+                 dtype=None, use_pallas: "bool | str" = "auto"):
         self.D = D
         self.lp = lp
         self.lp_g = lp_g
         self.mesh = mesh
         self.data_axis = data_axis
         self.dtype = dtype or jnp.zeros(0).dtype
+        self.use_pallas = use_pallas
+
+    def _pallas_enabled(self, batch_size: int) -> bool:
+        """Fused Pallas update: on TPU, f32, unsharded, VMEM-fitting shapes.
+        Measured crossover vs the XLA path is around B*D ~ 3e4 on v5e."""
+        if self.use_pallas == "auto":
+            return (on_tpu() and self.mesh is None
+                    and self.dtype == jnp.float32
+                    and pallas_supported(batch_size, self.D)
+                    and batch_size * self.D >= 32768)
+        return bool(self.use_pallas)
 
     # -- compiled step ------------------------------------------------------
     def _make_step(self, batch_size: int):
@@ -68,6 +80,8 @@ class GSM:
             data_sharding(self.mesh, self.data_axis) if self.mesh is not None else None
         )
 
+        use_pallas = self._pallas_enabled(batch_size)
+
         def step(state: VIState) -> VIState:
             key, key_sample = jax.random.split(state.key)
             eps = jax.random.normal(key_sample, (batch_size, d), dtype)
@@ -75,8 +89,13 @@ class GSM:
                 eps = jax.lax.with_sharding_constraint(eps, sharding)
             samples = state.mean + eps @ state.chol.T
             vs = lp_g(samples)
-            dmu, ds = gsm_update_stats(samples, vs, state.mean, state.cov)
-            return accept_or_revert(state, state.mean + dmu, state.cov + ds, key)
+            if use_pallas:
+                mean_new, cov_new = gsm_update_fused(samples, vs, state.mean,
+                                                     state.cov)
+            else:
+                dmu, ds = gsm_update_stats(samples, vs, state.mean, state.cov)
+                mean_new, cov_new = state.mean + dmu, state.cov + ds
+            return accept_or_revert(state, mean_new, cov_new, key)
 
         return step
 

@@ -1,0 +1,76 @@
+"""Loop driver: event scheduling, monitor cadence parity, nprint clamping."""
+
+import jax
+import jax.numpy as jnp
+
+from gsmvi_tpu.driver import _next_event, is_traceable, run_fit_loop
+from gsmvi_tpu.state import VIState, init_state
+
+
+class RecordingMonitor:
+    def __init__(self, checkpoint):
+        self.checkpoint = checkpoint
+        self.calls = []
+
+    def __call__(self, i, params, lp, key, nevals=1):
+        self.calls.append((i, nevals))
+
+
+def _counting_step(state):
+    return state._replace(step=state.step + 1)
+
+
+def test_monitor_call_pattern_matches_reference():
+    """Reference pattern (gsmvi/gsm.py:107-132): calls at i % cp == 0 within
+    range(niter+1), plus one final call at i=niter."""
+    mon = RecordingMonitor(checkpoint=10)
+    state = init_state(jax.random.PRNGKey(0), 3)
+    run_fit_loop(_counting_step, state, 25, monitor=mon, nprint=0,
+                 verbose=False, batch_size=2)
+    iters = [c[0] for c in mon.calls]
+    assert iters == [0, 10, 20, 25]
+
+
+def test_nevals_pattern():
+    """nevals: 1 at first call, then batch_size * iters since last call."""
+    mon = RecordingMonitor(checkpoint=10)
+    state = init_state(jax.random.PRNGKey(0), 3)
+    run_fit_loop(_counting_step, state, 25, monitor=mon, nprint=0,
+                 verbose=False, batch_size=3)
+    assert [c[1] for c in mon.calls] == [1, 30, 30, 18]
+
+
+def test_total_updates_is_niter_plus_one():
+    state = init_state(jax.random.PRNGKey(0), 3)
+    out = run_fit_loop(_counting_step, state, 17, verbose=False)
+    assert int(out.step) == 18
+
+
+def test_nprint_larger_than_niter_does_not_crash(capsys):
+    """Reference quirk fixed: ZeroDivisionError when nprint > niter
+    (gsmvi/gsm.py:108); we clamp like BaM (gsmvi/bam.py:177)."""
+    state = init_state(jax.random.PRNGKey(0), 3)
+    run_fit_loop(_counting_step, state, 3, nprint=10, verbose=True)
+    assert "Iteration 0 of 3" in capsys.readouterr().out
+
+
+def test_misaligned_cadences():
+    """checkpoint=7 with print cadence 5: all checkpoint multiples hit."""
+    mon = RecordingMonitor(checkpoint=7)
+    state = init_state(jax.random.PRNGKey(0), 3)
+    run_fit_loop(_counting_step, state, 20, monitor=mon, nprint=4,
+                 verbose=True, batch_size=1)
+    assert [c[0] for c in mon.calls] == [0, 7, 14, 20]
+
+
+def test_next_event():
+    assert _next_event(0, 100, (10, None)) == 10
+    assert _next_event(10, 100, (10, 7)) == 14
+    assert _next_event(98, 100, (10, None)) == 100
+
+
+def test_is_traceable():
+    import numpy as np
+    probe = jax.ShapeDtypeStruct((2, 3), jnp.float32)
+    assert is_traceable(lambda x: x * 2, probe)
+    assert not is_traceable(lambda x: np.linalg.cholesky(np.asarray(x)), probe)
