@@ -52,7 +52,8 @@ class GSM:
     """
 
     def __init__(self, D, lp, lp_g, mesh=None, data_axis: str = "data",
-                 dtype=None, use_pallas: "bool | str" = "auto"):
+                 dtype=None, use_pallas: "bool | str" = "auto",
+                 cov_sharding=None):
         self.D = D
         self.lp = lp
         self.lp_g = lp_g
@@ -60,6 +61,9 @@ class GSM:
         self.data_axis = data_axis
         self.dtype = dtype or jnp.zeros(0).dtype
         self.use_pallas = use_pallas
+        # Optional NamedSharding splitting the (D, D) covariance over a model
+        # axis for very large D (see parallel/large_d.py).
+        self.cov_sharding = cov_sharding
 
     def _pallas_enabled(self, batch_size: int) -> bool:
         """Fused Pallas update: on TPU, f32, unsharded, VMEM-fitting shapes.
@@ -81,6 +85,7 @@ class GSM:
         )
 
         use_pallas = self._pallas_enabled(batch_size)
+        cov_sh = self.cov_sharding
 
         def step(state: VIState) -> VIState:
             key, key_sample = jax.random.split(state.key)
@@ -95,6 +100,8 @@ class GSM:
             else:
                 dmu, ds = gsm_update_stats(samples, vs, state.mean, state.cov)
                 mean_new, cov_new = state.mean + dmu, state.cov + ds
+            if cov_sh is not None:
+                cov_new = jax.lax.with_sharding_constraint(cov_new, cov_sh)
             return accept_or_revert(state, mean_new, cov_new, key)
 
         return step

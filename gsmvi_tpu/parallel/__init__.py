@@ -14,3 +14,4 @@ the TPU-native equivalents:
 
 from .mesh import data_sharding, make_mesh, replicated_sharding
 from .distributed import initialize_distributed
+from .large_d import batch_sharding_2d, cov_sharding, make_mesh_2d

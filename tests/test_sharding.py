@@ -108,3 +108,19 @@ def test_batch_actually_sharded(mesh):
 
     x = make()
     assert x.sharding.is_equivalent_to(sharding, x.ndim)
+
+
+def test_2d_mesh_cov_sharded_fit_matches(eight_devices, target):
+    """Stretch goal (SURVEY §2): column-sharded covariance on a 2-D
+    (data x model) mesh gives the same fit as unsharded."""
+    from gsmvi_tpu.parallel.large_d import cov_sharding, make_mesh_2d
+
+    mesh2 = make_mesh_2d(2, 4)
+    t = target
+    kw = dict(niter=60, batch_size=8, verbose=False)
+    m1, c1 = GSM(D=t.d, lp=t.lp, lp_g=t.lp_g).fit(jax.random.PRNGKey(9), **kw)
+    gsm = GSM(D=t.d, lp=t.lp, lp_g=t.lp_g, mesh=mesh2,
+              cov_sharding=cov_sharding(mesh2))
+    m2, c2 = gsm.fit(jax.random.PRNGKey(9), **kw)
+    np.testing.assert_allclose(m1, m2, atol=1e-8)
+    np.testing.assert_allclose(c1, c2, atol=1e-8)
