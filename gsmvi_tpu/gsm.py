@@ -73,7 +73,7 @@ class GSM:
                     and self.dtype == jnp.float32
                     and pallas_supported(batch_size, self.D)
                     and batch_size * self.D >= 32768)
-        return bool(self.use_pallas)
+        return bool(self.use_pallas) and pallas_supported(batch_size, self.D)
 
     # -- compiled step ------------------------------------------------------
     def _make_step(self, batch_size: int):
