@@ -24,6 +24,7 @@ from .bam import BaM
 from .distributions import Gaussian, mvn_kl, mvn_logpdf, mvn_sample
 from .gsm import GSM
 from .gsm_factor import FactorGSM
+from .posterior import Posterior
 from .ops.bam import Regularizers, bam_lowrank_update, bam_update
 from .ops.gsm import gsm_update
 from .state import VIState, init_state
@@ -33,7 +34,8 @@ from .utils.monitors import KLMonitor
 __version__ = "0.1.0"
 
 __all__ = [
-    "ADVI", "BaM", "FactorGSM", "GSM", "Gaussian", "KLMonitor", "Regularizers", "VIState",
+    "ADVI", "BaM", "FactorGSM", "GSM", "Gaussian", "KLMonitor", "Posterior",
+    "Regularizers", "VIState",
     "bam_lowrank_update", "bam_update", "gsm_update", "init_state",
     "lbfgs_init", "map_init", "mvn_kl", "mvn_logpdf", "mvn_sample",
 ]

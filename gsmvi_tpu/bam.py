@@ -24,8 +24,6 @@ internals rebuilt so the whole iteration is one compiled step:
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

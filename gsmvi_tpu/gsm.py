@@ -22,15 +22,12 @@ equivalent and multi-host init).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .driver import is_traceable, on_tpu, run_fit_loop
-from .ops.gsm import gsm_update, gsm_update_stats
+from .ops.gsm import gsm_update_stats
 from .ops.pallas.gsm_step import gsm_update_fused, pallas_supported
 from .parallel.mesh import data_sharding
 from .state import VIState, accept_or_revert, init_state
