@@ -139,7 +139,7 @@ class BaM:
 
     def fit(self, key, regf, mean=None, cov=None, batch_size=2, niter=5000,
             nprint=10, verbose=True, check_goodness=True, monitor=None,
-            retries=10, jitter=1e-6, return_state=False):
+            retries=10, jitter=1e-6, return_state=False, state=None):
         """Run the fit; signature parity with reference ``gsmvi/bam.py:140``.
 
         ``regf`` — regularizer schedule, a pure function of the iteration
@@ -147,7 +147,8 @@ class BaM:
         inside the kernel each step (reference adds it to the output cov on
         host, ``gsmvi/bam.py:198``).
         """
-        state = init_state(key, self.D, mean, cov, self.dtype)
+        if state is None:
+            state = init_state(key, self.D, mean, cov, self.dtype)
         probe = jax.ShapeDtypeStruct((batch_size, self.D), self.dtype)
         traceable = self.jit_compile and is_traceable(self.lp_g, probe)
         if not traceable and verbose:

@@ -129,8 +129,12 @@ class GSM:
 
     def fit(self, key, mean=None, cov=None, batch_size=2, niter=5000,
             nprint=10, verbose=True, check_goodness=True, monitor=None,
-            return_state=False):
+            return_state=False, state=None):
         """Run the fit; signature parity with reference ``gsmvi/gsm.py:79``.
+
+        ``state`` — optional ``VIState`` (e.g. from ``return_state=True`` or
+        ``utils.checkpoint.load_state``); resumes the exact trajectory,
+        ignoring ``key``/``mean``/``cov``.
 
         Returns (mean, cov) — or the full ``VIState`` when ``return_state``.
         Note: ``check_goodness`` is accepted for parity; checking is always on
@@ -138,7 +142,8 @@ class GSM:
         matches the reference's actual behavior (its kwarg is unused too,
         ``gsmvi/gsm.py:79,125``).
         """
-        state = init_state(key, self.D, mean, cov, self.dtype)
+        if state is None:
+            state = init_state(key, self.D, mean, cov, self.dtype)
         probe = jax.ShapeDtypeStruct((batch_size, self.D), self.dtype)
         traceable = is_traceable(self.lp_g, probe)
         if not traceable and verbose:

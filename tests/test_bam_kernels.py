@@ -123,3 +123,27 @@ class TestRegularizers:
         assert r.counter == 2
         r.reset()
         assert r.counter == 0
+
+
+def test_bam_limits_to_gsm_at_infinite_reg(rng):
+    """arXiv:2402.14758 Prop.: BaM with B=1 recovers the GSM update as
+    reg -> inf; convergence rate O(1/reg).  Cross-algorithm consistency
+    check pinning both kernels."""
+    from gsmvi_tpu.ops.gsm import gsm_update
+
+    d = 6
+    mu0 = rng.normal(size=d)
+    l = rng.normal(size=(d, d))
+    s0 = l @ l.T + np.eye(d)
+    x = rng.normal(size=(1, d))
+    v = 0.5 * rng.normal(size=(1, d))
+    mu_g, s_g = gsm_update(x, v, mu0, s0)
+    err_prev = None
+    for reg in (1e4, 1e6, 1e8):
+        mu_b, s_b = bam_update(x, v, mu0, s0, reg)
+        err = max(float(jnp.abs(mu_b - mu_g).max()),
+                  float(jnp.abs(s_b - s_g).max()))
+        if err_prev is not None:
+            assert err < err_prev / 10  # O(1/reg) decay
+        err_prev = err
+    assert err_prev < 1e-6

@@ -41,3 +41,20 @@ def test_resume_continues_trajectory(tmp_path):
                                atol=1e-12)
     np.testing.assert_allclose(np.asarray(resumed.cov), np.asarray(full.cov),
                                atol=1e-12)
+
+
+def test_resume_via_state_kwarg(tmp_path):
+    """fit(state=loaded) continues the trajectory exactly (incl. key/counters)."""
+    t = dense_gaussian(jax.random.PRNGKey(31), 6)
+    gsm = GSM(D=t.d, lp=t.lp, lp_g=t.lp_g)
+    full = gsm.fit(jax.random.PRNGKey(7), niter=40, batch_size=4,
+                   verbose=False, return_state=True)
+    half = gsm.fit(jax.random.PRNGKey(7), niter=20, batch_size=4,
+                   verbose=False, return_state=True)
+    path = str(tmp_path / "ck")
+    save_state(path, half)
+    resumed = gsm.fit(None, niter=19, batch_size=4, verbose=False,
+                      state=load_state(path), return_state=True)
+    np.testing.assert_allclose(np.asarray(resumed.mean), np.asarray(full.mean),
+                               atol=1e-12)
+    assert int(resumed.step) == int(full.step)
