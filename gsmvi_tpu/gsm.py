@@ -163,3 +163,48 @@ class GSM:
         if return_state:
             return state
         return state.mean, state.cov
+
+    def fit_batch(self, keys, mean=None, cov=None, batch_size=2, niter=5000,
+                  return_state=False):
+        """Fit K independent replicas in one compiled program (vmapped steps).
+
+        ``keys``: (K,) stacked PRNG keys — one replica per key.  ``mean``/
+        ``cov`` may be unbatched (broadcast to every replica) or carry a
+        leading K axis (per-replica warm starts / random restarts).  Returns
+        (means (K, D), covs (K, D, D)).
+
+        No reference equivalent; the payoff on TPU is batching the small-D
+        per-step matmuls of K fits into (K, ...) batched ops that actually
+        fill the MXU.  Monitors are not supported here (no per-replica host
+        hooks inside the batched scan); use ``fit`` for monitored runs.
+        """
+        k = keys.shape[0]
+        d = self.D
+        dtype = self.dtype
+
+        def broadcast(x, default, shape):
+            if x is None:
+                x = default
+            x = jnp.asarray(x, dtype)
+            if x.ndim == len(shape):
+                x = jnp.broadcast_to(x, (k, *shape))
+            return x
+
+        means0 = broadcast(mean, jnp.zeros(d, dtype), (d,))
+        covs0 = broadcast(cov, jnp.eye(d, dtype=dtype), (d, d))
+
+        def init_one(key, m, c):
+            return init_state(key, d, m, c, dtype)
+
+        state = jax.vmap(init_one)(keys, means0, covs0)
+        step = jax.vmap(self._make_step(batch_size))
+
+        @jax.jit
+        def run(s):
+            return jax.lax.scan(lambda c, _: (step(c), None), s, None,
+                                length=niter + 1)[0]
+
+        state = run(state)
+        if return_state:
+            return state
+        return state.mean, state.cov
