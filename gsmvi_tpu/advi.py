@@ -72,16 +72,19 @@ class ADVI:
         Matches the estimator of reference ``gsmvi/advi.py:31-45``:
         -(sum lp(x) - sum log q(x)) over a batch of q-samples.
         """
-        loc, scales = params
-        l = self.scales_to_tril(scales)
-        eps = jax.random.normal(key, (batch_size, self.D), loc.dtype)
-        if self.mesh is not None:
-            eps = jax.lax.with_sharding_constraint(
-                eps, data_sharding(self.mesh, self.data_axis))
-        samples = loc + eps @ l.T
-        logq = jnp.sum(mvn_logpdf(samples, loc, l))
-        logl = jnp.sum(self.lp(samples))
-        return -(logl - logq)
+        # True-f32 matmuls: the reparameterized gradient is sensitive to the
+        # TPU's default bf16 matmul passes.
+        with jax.default_matmul_precision("float32"):
+            loc, scales = params
+            l = self.scales_to_tril(scales)
+            eps = jax.random.normal(key, (batch_size, self.D), loc.dtype)
+            if self.mesh is not None:
+                eps = jax.lax.with_sharding_constraint(
+                    eps, data_sharding(self.mesh, self.data_axis))
+            samples = loc + eps @ l.T
+            logq = jnp.sum(mvn_logpdf(samples, loc, l))
+            logl = jnp.sum(self.lp(samples))
+            return -(logl - logq)
 
     def fit(self, key, opt, mean=None, cov=None, batch_size=8, niter=1000,
             nprint=10, verbose=True, monitor=None, return_state=False):

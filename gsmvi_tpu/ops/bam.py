@@ -93,6 +93,13 @@ def bam_update(samples, vs, mu0, S0, reg, jitter: float = 0.0,
     """
     if samples.ndim != 2 or vs.ndim != 2:
         raise ValueError("samples and vs must be (batch, dim) arrays")
+    with jax.default_matmul_precision("float32"):
+        return _bam_update_impl(samples, vs, mu0, S0, reg, jitter,
+                                sqrt_method, newton_iters)
+
+
+def _bam_update_impl(samples, vs, mu0, S0, reg, jitter, sqrt_method,
+                     newton_iters):
     d = mu0.shape[-1]
     dtype = S0.dtype
     eye = jnp.eye(d, dtype=dtype)
@@ -133,6 +140,11 @@ def bam_lowrank_update(samples, vs, mu0, S0, reg, jitter: float = 0.0):
     """
     if samples.ndim != 2 or vs.ndim != 2:
         raise ValueError("samples and vs must be (batch, dim) arrays")
+    with jax.default_matmul_precision("float32"):
+        return _bam_lowrank_update_impl(samples, vs, mu0, S0, reg, jitter)
+
+
+def _bam_lowrank_update_impl(samples, vs, mu0, S0, reg, jitter):
     b = samples.shape[0]
     dtype = S0.dtype
     xbar = jnp.mean(samples, axis=0)

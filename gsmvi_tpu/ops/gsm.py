@@ -43,6 +43,13 @@ def gsm_update_stats(samples, vs, mu0, S0):
     samples, vs: (B, D); mu0: (D,); S0: (D, D).
     """
     b = samples.shape[0]
+    # TPU f32 matmuls default to bf16 passes; the covariance recursion is
+    # sensitive to that, so pin true-f32 precision for the update math.
+    with jax.default_matmul_precision("float32"):
+        return _gsm_update_stats_impl(samples, vs, mu0, S0, b)
+
+
+def _gsm_update_stats_impl(samples, vs, mu0, S0, b):
     a = mu0 - samples                                   # (B, D)
     t = vs @ S0                                         # (B, D): rows S0 @ v_b
     vsv = jnp.sum(vs * t, axis=-1)                      # (B,)

@@ -18,28 +18,33 @@ which conjugates into the factor as
 
     S' = F (I + P J P^T) F^T,   P = Finv [U, V]  (D x 2B), J = diag(I, -I)
 
-and the middle term admits an exact square factor of the same low-rank form:
+and the middle term admits an exact square factor via an orthogonal
+reduction: with the thin QR ``P = Q R`` (Q: D x k orthonormal, k = min(D, 2B))
+and ``W = R J R^T``,
 
-    I + P J P^T = (I + P C P^T)(I + P C P^T)^T
+    I + P J P^T = I + Q W Q^T = (I + Q C Q^T)(I + Q C Q^T)^T
 
-with symmetric C solving 2C + C G C = J, G = P^T P.  Substituting
-X = G^{1/2} C G^{1/2} gives (I + X)^2 = I + H with H = G^{1/2} J G^{1/2}, so
+where, because Q^T Q = I, C must solve (I + C)^2 = I + W:
 
-    C = G^{-1/2} ( (I + H)^{1/2} - I ) G^{-1/2}
+    C  = (I + W)^{1/2} - I,      Ct = (I + W)^{-1/2} - I
 
-— computable from two (2B x 2B) symmetric eigendecompositions.  The update
-and its inverse are then rank-2B corrections:
+— one (k x k) symmetric eigendecomposition gives both C and the inverse
+correction.  The update and its inverse are rank-k corrections:
 
-    F'    = F + (F P) C P^T
-    Finv' = Finv + P Ct (P^T Finv),   Ct = -(I + C G)^{-1} C     (Woodbury)
+    F'    = F + (F Q) C Q^T
+    Finv' = Finv + Q Ct (Q^T Finv)
 
-Cost per step: a handful of (D x 2B)-shaped matmuls — O(B D^2) — plus O(B^3)
-small-matrix work.  No D x D factorization anywhere.
+Cost per step: a handful of (D x 2B)-shaped matmuls + a thin QR — O(B D^2) —
+plus O(B^3) small-matrix work.  No D x D factorization anywhere.  (An earlier
+formulation used G^{+-1/2} with G = P^T P; that inverse square root amplifies
+f32 noise catastrophically when P is rank-deficient — e.g. whenever 2B > D —
+which the QR route avoids entirely.)
 
-Validity check, exactly: S' is PD  <=>  I + H is PD (similar matrices up to
-congruence), so the goodness test is ``min eig(I + H) > tol`` — a byproduct of
-the eigh we already compute, replacing the reference's host Cholesky-and-NaN
-probe (``gsmvi/gsm.py:136-150``) with a *sharper* on-device criterion.
+Validity check, exactly: S' is PD  <=>  I + W is PD (congruent via the
+orthogonal completion of Q), so the goodness test is ``min eig(I + W) > tol``
+— a byproduct of the eigh we already compute, replacing the reference's host
+Cholesky-and-NaN probe (``gsmvi/gsm.py:136-150``) with a *sharper* on-device
+criterion.
 
 Drift: Finv is corrected by exact Woodbury algebra each step; consistency
 error (||Finv F - I||) grows only in accumulated rounding.  ``refresh``
@@ -63,6 +68,11 @@ def factor_gsm_step_stats(samples, vs, mu0, F, Finv):
     the proposed covariance; callers select old/new state on it.
     """
     b, d = samples.shape
+    with jax.default_matmul_precision("float32"):
+        return _factor_step_impl(samples, vs, mu0, F, Finv, b)
+
+
+def _factor_step_impl(samples, vs, mu0, F, Finv, b):
     dtype = F.dtype
 
     # --- GSM mean update (identical math to ops/gsm.py, S applied as F F^T) ---
@@ -77,35 +87,32 @@ def factor_gsm_step_stats(samples, vs, mu0, F, Finv):
     bm = a + dmu_b
     dmu = jnp.mean(dmu_b, axis=0)
 
-    # --- rank-2B factor update ---
+    # --- rank-2B factor update via orthogonal (QR) reduction ---
+    # I + P J P^T = I + Q W Q^T with P = QR (Q orthonormal), W = R J R^T.
+    # Because Q^T Q = I the square-factor equation collapses to
+    # (I + C)^2 = I + W  =>  C = (I+W)^{1/2} - I, and the inverse correction
+    # is Ct = (I+W)^{-1/2} - I — one (2B x 2B) eigh, no G^{-1/2}.  This stays
+    # well-conditioned even when P is rank-deficient (e.g. 2B > D), where the
+    # earlier G^{-1/2} formulation amplified f32 noise catastrophically.
     scale = 1.0 / jnp.sqrt(jnp.asarray(b, dtype))
     uv = jnp.concatenate([a.T, bm.T], axis=1) * scale    # (D, 2B): [U, V]
     p = Finv @ uv                                        # (D, 2B)
-    g = p.T @ p                                          # (2B, 2B)
-    g = 0.5 * (g + g.T)
+    q, r = jnp.linalg.qr(p)                              # (D, k), (k, 2B)
+    k = q.shape[1]                                       # k = min(D, 2B)
     jj = jnp.concatenate([jnp.ones(b, dtype), -jnp.ones(b, dtype)])
-
-    gw, gq = jnp.linalg.eigh(g)
-    gw = jnp.maximum(gw, 1e-12 * jnp.maximum(gw[-1], 1.0))
-    g_half = (gq * jnp.sqrt(gw)) @ gq.T
-    g_ihalf = (gq / jnp.sqrt(gw)) @ gq.T
-
-    h = g_half * jj @ g_half                             # G^{1/2} J G^{1/2}
-    m = jnp.eye(2 * b, dtype=dtype) + 0.5 * (h + h.T)
+    w = (r * jj) @ r.T                                   # R J R^T, (k, k)
+    m = jnp.eye(k, dtype=dtype) + 0.5 * (w + w.T)        # I + W
     mw, mq = jnp.linalg.eigh(m)
-    good = mw[0] > 1e-8                                  # exact PD criterion
+    good = mw[0] > 1e-6                                  # exact PD criterion
     mw_safe = jnp.maximum(mw, 1e-12)
-    sqrt_m = (mq * jnp.sqrt(mw_safe)) @ mq.T
-    x = sqrt_m - jnp.eye(2 * b, dtype=dtype)
-    c = g_ihalf @ x @ g_ihalf
-    c = 0.5 * (c + c.T)
+    sqrt_w = jnp.sqrt(mw_safe)
+    eye_k = jnp.eye(k, dtype=dtype)
+    c = (mq * sqrt_w) @ mq.T - eye_k                     # (I+W)^{1/2} - I
+    ct = (mq / sqrt_w) @ mq.T - eye_k                    # (I+W)^{-1/2} - I
 
-    # F' = F + (F P) C P^T
-    fp = F @ p
-    f_new = F + fp @ (c @ p.T)
-    # Finv' = Finv + P Ct (P^T Finv), Ct = -(I + C G)^{-1} C
-    ct = -jnp.linalg.solve(jnp.eye(2 * b, dtype=dtype) + c @ g, c)
-    finv_new = Finv + p @ (ct @ (p.T @ Finv))
+    # F' = F (I + Q C Q^T);  Finv' = (I + Q Ct Q^T) Finv
+    f_new = F + (F @ q) @ (c @ q.T)
+    finv_new = Finv + q @ (ct @ (q.T @ Finv))
 
     return dmu, f_new, finv_new, good
 
