@@ -169,3 +169,37 @@ class BaM:
         if return_state:
             return state
         return state.mean, state.cov
+
+    def fit_batch(self, keys, regf, mean=None, cov=None, batch_size=2,
+                  niter=5000, retries=10, jitter=1e-6, return_state=False):
+        """K independent BaM replicas in one compiled program (vmapped steps).
+
+        Same contract as ``GSM.fit_batch``; ``regf`` must be a pure schedule.
+        """
+        k = keys.shape[0]
+        d = self.D
+        dtype = self.dtype
+
+        def broadcast(x, default, shape):
+            if x is None:
+                x = default
+            x = jnp.asarray(x, dtype)
+            if x.ndim == len(shape):
+                x = jnp.broadcast_to(x, (k, *shape))
+            return x
+
+        means0 = broadcast(mean, jnp.zeros(d, dtype), (d,))
+        covs0 = broadcast(cov, jnp.eye(d, dtype=dtype), (d, d))
+        state = jax.vmap(lambda kk, m, c: init_state(kk, d, m, c, dtype))(
+            keys, means0, covs0)
+        step = jax.vmap(self._make_step(batch_size, regf, retries, jitter))
+
+        @jax.jit
+        def run(s):
+            return jax.lax.scan(lambda c, _: (step(c), None), s, None,
+                                length=niter + 1)[0]
+
+        state = run(state)
+        if return_state:
+            return state
+        return state.mean, state.cov

@@ -133,3 +133,41 @@ class FactorGSM:
         if return_state:
             return state
         return state.mean, factor_to_cov(state.factor)
+
+    def fit_batch(self, keys, mean=None, cov=None, batch_size=2, niter=5000,
+                  return_state=False):
+        """K independent FactorGSM replicas in one compiled program."""
+        k = keys.shape[0]
+        d = self.D
+        dtype = self.dtype
+
+        def broadcast(x, default, shape):
+            if x is None:
+                x = default
+            x = jnp.asarray(x, dtype)
+            if x.ndim == len(shape):
+                x = jnp.broadcast_to(x, (k, *shape))
+            return x
+
+        means0 = broadcast(mean, jnp.zeros(d, dtype), (d,))
+        covs0 = broadcast(cov, jnp.eye(d, dtype=dtype), (d, d))
+
+        def init_one(kk, m, c):
+            f0 = safe_cholesky(c)
+            finv0 = jax.scipy.linalg.solve_triangular(
+                f0, jnp.eye(d, dtype=dtype), lower=True)
+            zero = jnp.zeros((), jnp.int32)
+            return FactorVIState(m, f0, finv0, kk, zero, zero, zero)
+
+        state = jax.vmap(init_one)(keys, means0, covs0)
+        step = jax.vmap(self._make_step(batch_size))
+
+        @jax.jit
+        def run(s):
+            return jax.lax.scan(lambda c, _: (step(c), None), s, None,
+                                length=niter + 1)[0]
+
+        state = run(state)
+        if return_state:
+            return state
+        return state.mean, jax.vmap(factor_to_cov)(state.factor)

@@ -38,3 +38,28 @@ def test_fit_batch_per_replica_warm_start():
     means, _ = gsm.fit_batch(keys, mean=means0, cov=covs0, niter=50,
                              batch_size=8)
     np.testing.assert_allclose(means[1], t.mean, atol=5e-3)
+
+
+def test_bam_fit_batch():
+    from gsmvi_tpu import BaM, Regularizers
+
+    t = dense_gaussian(jax.random.PRNGKey(3), 6)
+    bam = BaM(D=t.d, lp=t.lp, lp_g=t.lp_g)
+    keys = jax.random.split(jax.random.PRNGKey(0), 3)
+    means, covs = bam.fit_batch(keys, regf=Regularizers().linear(100.0),
+                                niter=150, batch_size=8)
+    assert means.shape == (3, 6)
+    for i in range(3):
+        np.testing.assert_allclose(means[i], t.mean, atol=1e-2)
+
+
+def test_factor_gsm_fit_batch():
+    from gsmvi_tpu import FactorGSM
+
+    t = dense_gaussian(jax.random.PRNGKey(3), 6)
+    fg = FactorGSM(D=t.d, lp=t.lp, lp_g=t.lp_g, refresh_every=0)
+    keys = jax.random.split(jax.random.PRNGKey(0), 3)
+    means, covs = fg.fit_batch(keys, niter=300, batch_size=8)
+    assert covs.shape == (3, 6, 6)
+    for i in range(3):
+        np.testing.assert_allclose(means[i], t.mean, atol=1e-2)
