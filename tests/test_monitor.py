@@ -93,3 +93,58 @@ def test_monitor_returns_key(target):
     key = jax.random.PRNGKey(0)
     new_key = mon(0, [np.asarray(t.mean), np.asarray(t.cov)], t.lp, key, nevals=1)
     assert not np.array_equal(np.asarray(new_key), np.asarray(key))
+
+
+def test_monitor_with_advi(target):
+    """ADVI honors the monitor protocol incl. the scales->cov conversion at
+    checkpoints (reference gsmvi/advi.py:93-98)."""
+    import optax
+    from gsmvi_tpu import ADVI
+
+    t = target
+    mon = KLMonitor(batch_size_kl=32, checkpoint=100)
+    advi = ADVI(D=t.d, lp=t.lp)
+    advi.fit(jax.random.PRNGKey(1), optax.adam(1e-2), batch_size=16,
+             niter=300, verbose=False, monitor=mon)
+    assert len(mon.rkl) == 5  # i=0,100,200,300 + final
+    assert mon.rkl[-1] < mon.rkl[0]
+
+
+def test_monitor_with_bam(target):
+    from gsmvi_tpu import BaM, Regularizers
+
+    t = target
+    mon = KLMonitor(batch_size_kl=32, checkpoint=50)
+    bam = BaM(D=t.d, lp=t.lp, lp_g=t.lp_g)
+    bam.fit(jax.random.PRNGKey(1), regf=Regularizers().linear(100.0),
+            niter=100, batch_size=8, verbose=False, monitor=mon)
+    assert len(mon.rkl) == 4
+    assert mon.rkl[-1] < mon.rkl[0]
+
+
+def test_monitor_with_eager_numpy_path(target):
+    """Monitor + eager host loop (non-traceable lp_g) work together."""
+    t = target
+    mean_np = np.asarray(t.mean)
+    prec = np.linalg.inv(np.asarray(t.cov))
+
+    def lp_g_np(x):
+        return -(np.asarray(x) - mean_np) @ prec
+
+    mon = KLMonitor(batch_size_kl=16, checkpoint=50)
+    gsm = GSM(D=t.d, lp=t.lp, lp_g=lp_g_np)
+    gsm.fit(jax.random.PRNGKey(1), niter=100, batch_size=8, verbose=False,
+            monitor=mon)
+    assert len(mon.rkl) == 4
+    assert mon.rkl[-1] < mon.rkl[0]
+
+
+def test_monitor_store_params(target):
+    t = target
+    mon = KLMonitor(batch_size_kl=8, checkpoint=50, store_params=True)
+    gsm = GSM(D=t.d, lp=t.lp, lp_g=t.lp_g)
+    gsm.fit(jax.random.PRNGKey(1), niter=100, batch_size=4, verbose=False,
+            monitor=mon)
+    assert len(mon.params_trace) == len(mon.rkl)
+    m0, c0 = mon.params_trace[0]
+    assert m0.shape == (t.d,) and c0.shape == (t.d, t.d)
