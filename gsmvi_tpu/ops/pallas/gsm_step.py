@@ -49,7 +49,8 @@ def _gsm_kernel(samples_ref, vs_ref, mu0_ref, s0_ref, mu_ref, s_ref, *,
     s0 = s0_ref[:]                           # (D, D)
 
     a = mu0 - x
-    t = jnp.dot(v, s0, preferred_element_type=jnp.float32)
+    t = jnp.dot(v, s0, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
     vsv = jnp.sum(v * t, axis=1, keepdims=True)
     mv = jnp.sum(a * v, axis=1, keepdims=True)
     rho = 0.5 * (jnp.sqrt(1.0 + 4.0 * (vsv + mv * mv)) - 1.0)
@@ -62,9 +63,11 @@ def _gsm_kernel(samples_ref, vs_ref, mu0_ref, s0_ref, mu_ref, s_ref, *,
 
     contract = (((0,), (0,)), ((), ()))      # a^T a without explicit transpose
     gram_a = jax.lax.dot_general(a, a, contract,
-                                 preferred_element_type=jnp.float32)
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST)
     gram_b = jax.lax.dot_general(bm, bm, contract,
-                                 preferred_element_type=jnp.float32)
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST)
     ds = (gram_a - gram_b) / batch
     s_ref[:] = s0 + 0.5 * (ds + ds.T)
 
