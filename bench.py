@@ -77,7 +77,38 @@ def time_reference_structure(t):
     return (NITER_BASE + 1) / dt, mean
 
 
+def extended_sweep():
+    """Optional D-sweep (BENCH_FULL=1): score-evals/s per chip at several D.
+
+    Extra results go to stderr so stdout stays a single JSON line.
+    """
+    import sys
+    import jax
+    from gsmvi_tpu import GSM
+    from gsmvi_tpu.models import dense_gaussian
+
+    for d, b, niter in [(64, 32, 2000), (512, 64, 500)]:
+        t = dense_gaussian(jax.random.PRNGKey(3), d)
+        gsm = GSM(D=d, lp=t.lp, lp_g=t.lp_g)
+
+        def run(n):
+            return gsm.fit(jax.random.PRNGKey(0), niter=n, batch_size=b,
+                           verbose=False)
+
+        jax.block_until_ready(run(2))
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(niter))
+        dt = time.perf_counter() - t0
+        print(json.dumps({
+            "metric": f"gsm_score_evals_per_s_d{d}_b{b}",
+            "value": round((niter + 1) * b / dt, 1),
+            "unit": "score-evals/s/chip",
+        }), file=sys.stderr, flush=True)
+
+
 def main():
+    import os
+
     import jax
     from gsmvi_tpu.models import dense_gaussian
 
@@ -93,6 +124,8 @@ def main():
         "unit": "iters/s",
         "vs_baseline": round(ours_ips / base_ips, 2),
     }))
+    if os.environ.get("BENCH_FULL"):
+        extended_sweep()
 
 
 if __name__ == "__main__":

@@ -15,8 +15,7 @@ This module keeps the kwarg-first API and centralizes the environment knobs:
 from __future__ import annotations
 
 import os
-from dataclasses import asdict, dataclass, field
-from typing import Optional
+from dataclasses import asdict, dataclass
 
 import jax
 

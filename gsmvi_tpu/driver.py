@@ -22,8 +22,6 @@ from functools import partial
 from typing import Callable, Optional
 
 import jax
-import jax.numpy as jnp
-import numpy as np
 
 
 def on_tpu() -> bool:

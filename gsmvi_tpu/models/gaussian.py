@@ -11,7 +11,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..distributions import Gaussian, mvn_logpdf, mvn_sample, safe_cholesky
+from ..distributions import mvn_logpdf, mvn_sample, safe_cholesky
 from .base import Target, make_target
 
 

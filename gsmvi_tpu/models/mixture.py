@@ -5,7 +5,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..distributions import mvn_logpdf, safe_cholesky
+from ..distributions import mvn_logpdf
 from .base import Target, make_target
 
 

@@ -8,7 +8,7 @@ Import-guarded: the core framework never requires numpyro.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

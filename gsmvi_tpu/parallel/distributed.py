@@ -9,7 +9,6 @@ within a slice and DCN across slices, placed by XLA).
 
 from __future__ import annotations
 
-import os
 from typing import Optional
 
 import jax

@@ -24,7 +24,6 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.gsm import gsm_update_stats
-from ..ops.bam import bam_batch_stats
 
 
 def sharded_gsm_stats(mesh: Mesh, lp_g, samples, mu0, S0, axis: str = "data"):

@@ -17,7 +17,6 @@ resumed fit continues the exact trajectory.
 from __future__ import annotations
 
 import os
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -13,8 +13,6 @@ returns an identity-scaled covariance.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

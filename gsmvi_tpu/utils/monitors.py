@@ -21,7 +21,7 @@ Standalone estimators ``reverse_kl`` / ``forward_kl`` keep the reference's
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 import jax

@@ -4,7 +4,7 @@ import jax
 import jax.numpy as jnp
 
 from gsmvi_tpu.driver import _next_event, is_traceable, run_fit_loop
-from gsmvi_tpu.state import VIState, init_state
+from gsmvi_tpu.state import init_state
 
 
 class RecordingMonitor:

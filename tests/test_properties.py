@@ -4,7 +4,6 @@ statistical fixed points at the true target."""
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from gsmvi_tpu.config import FitConfig, enable_x64
 from gsmvi_tpu.ops.bam import bam_update
