@@ -37,7 +37,9 @@ def time_ours(t):
         return gsm.fit(jax.random.PRNGKey(0), niter=niter, batch_size=BATCH,
                        verbose=False)
 
-    m, c = run(2)  # compile both chunk shapes
+    # Warm up with the same shape: the fitter caches its compiled chunk
+    # runner, so the timed fit below is pure steady-state execution.
+    m, c = run(NITER_OURS)
     jax.block_until_ready((m, c))
     t0 = time.perf_counter()
     m, c = run(NITER_OURS)

@@ -54,6 +54,7 @@ class ADVI:
         self.data_axis = data_axis
         self.dtype = dtype or jnp.zeros(0).dtype
         self.idx_tril = jnp.tril_indices(D)
+        self._runners = {}
 
     # -- parameterization ---------------------------------------------------
     def scales_to_tril(self, scales):
@@ -125,12 +126,16 @@ class ADVI:
         losses = []
         from functools import partial
 
-        @partial(jax.jit, static_argnums=1)
-        def run_chunk(s, k):
-            def body(c, _):
-                c2 = step(c)
-                return c2, c2.loss
-            return jax.lax.scan(body, s, None, length=k)
+        runner_key = (batch_size, id(opt))
+        if runner_key not in self._runners:
+            @partial(jax.jit, static_argnums=1)
+            def run_chunk(s, k):
+                def body(c, _):
+                    c2 = step(c)
+                    return c2, c2.loss
+                return jax.lax.scan(body, s, None, length=k)
+            self._runners[runner_key] = run_chunk
+        run_chunk = self._runners[runner_key]
 
         checkpoint = getattr(monitor, "checkpoint", None) if monitor is not None else None
         total = niter + 1

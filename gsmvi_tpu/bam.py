@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .driver import is_traceable, run_fit_loop
+from .driver import is_traceable, make_chunk_runner, run_fit_loop
 from .ops.bam import Regularizers, bam_lowrank_update, bam_update  # noqa: F401 (re-export)
 from .parallel.mesh import data_sharding
 from .state import VIState, accept_or_revert, init_state
@@ -58,6 +58,14 @@ class BaM:
         self.data_axis = data_axis
         self.dtype = dtype or jnp.zeros(0).dtype
         self.sqrt_method = sqrt_method
+        self._runners = {}
+
+    def _get_runner(self, batch_size, regf, retries, jitter):
+        key = (batch_size, id(regf), retries, jitter)
+        if key not in self._runners:
+            self._runners[key] = make_chunk_runner(
+                self._make_step(batch_size, regf, retries, jitter))
+        return self._runners[key]
 
     def _update(self, samples, vs, mean, cov, reg, jitter):
         if self.use_lowrank:
@@ -165,6 +173,8 @@ class BaM:
             use_scan=traceable,
             eager_step=None if traceable
             else self._make_eager_step(batch_size, regf, retries, jitter),
+            run_chunk=(self._get_runner(batch_size, regf, retries, jitter)
+                       if traceable else None),
         )
         if return_state:
             return state

@@ -43,6 +43,17 @@ def is_traceable(fn: Callable, *args_shape_dtype) -> bool:
         return False
 
 
+def make_chunk_runner(step: Callable) -> Callable:
+    """Jitted (state, k) -> state running ``k`` scanned steps; build once per
+    fitter configuration and reuse so repeated fits skip re-tracing."""
+
+    @partial(jax.jit, static_argnums=1)
+    def run_chunk(s, k):
+        return jax.lax.scan(lambda c, _: (step(c), None), s, None, length=k)[0]
+
+    return run_chunk
+
+
 def _next_event(i: int, total: int, cadences) -> int:
     """First iteration > i that is a multiple of any cadence (or ``total``)."""
     nxt = total
@@ -65,6 +76,7 @@ def run_fit_loop(
     batch_size: int = 1,
     eager_step: Optional[Callable] = None,
     use_scan: bool = True,
+    run_chunk: Optional[Callable] = None,
 ):
     """Run ``niter + 1`` update steps (reference iterates ``range(niter + 1)``,
     ``gsmvi/gsm.py:107``) with reference-parity monitor/print semantics.
@@ -76,6 +88,10 @@ def run_fit_loop(
     monitor_params — (state) -> params list handed to the monitor
                      (default ``[state.mean, state.cov]``).
     eager_step     — host-loop fallback body used when ``use_scan`` is False.
+    run_chunk      — optional prebuilt jitted (state, k)->state chunk runner;
+                     passing the same callable across ``fit`` calls lets jit's
+                     python-level cache skip re-tracing (fitters cache one per
+                     batch size).
 
     Returns the final state.
     """
@@ -85,9 +101,8 @@ def run_fit_loop(
         monitor_params = lambda s: [s.mean, s.cov]
 
     if use_scan:
-        @partial(jax.jit, static_argnums=1)
-        def run_chunk(s, k):
-            return jax.lax.scan(lambda c, _: (step(c), None), s, None, length=k)[0]
+        if run_chunk is None:
+            run_chunk = make_chunk_runner(step)
     else:
         step_fn = eager_step if eager_step is not None else step
 

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .driver import is_traceable, on_tpu, run_fit_loop
+from .driver import is_traceable, make_chunk_runner, on_tpu, run_fit_loop
 from .ops.gsm import gsm_update_stats
 from .ops.pallas.gsm_step import gsm_update_fused, pallas_supported
 from .parallel.mesh import data_sharding
@@ -61,6 +61,16 @@ class GSM:
         # Optional NamedSharding splitting the (D, D) covariance over a model
         # axis for very large D (see parallel/large_d.py).
         self.cov_sharding = cov_sharding
+        self._runners = {}
+
+    def _get_runner(self, batch_size: int):
+        """Cache one compiled chunk runner per batch size so repeated ``fit``
+        calls hit jit's python-level cache (no re-trace; mutate fitter config
+        -> create a new fitter)."""
+        if batch_size not in self._runners:
+            self._runners[batch_size] = make_chunk_runner(
+                self._make_step(batch_size))
+        return self._runners[batch_size]
 
     def _pallas_enabled(self, batch_size: int) -> bool:
         """Fused Pallas update: on TPU, f32, unsharded, VMEM-fitting shapes.
@@ -159,6 +169,7 @@ class GSM:
             batch_size=batch_size,
             use_scan=traceable,
             eager_step=None if traceable else self._make_eager_step(batch_size),
+            run_chunk=self._get_runner(batch_size) if traceable else None,
         )
         if return_state:
             return state

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from .distributions import safe_cholesky
-from .driver import is_traceable, run_fit_loop
+from .driver import is_traceable, make_chunk_runner, run_fit_loop
 from .ops.gsm_factor import (factor_gsm_step_stats, factor_refresh,
                              factor_to_cov)
 from .parallel.mesh import data_sharding
@@ -60,6 +60,13 @@ class FactorGSM:
         self.data_axis = data_axis
         self.dtype = dtype or jnp.zeros(0).dtype
         self.refresh_every = refresh_every
+        self._runners = {}
+
+    def _get_runner(self, batch_size: int):
+        if batch_size not in self._runners:
+            self._runners[batch_size] = make_chunk_runner(
+                self._make_step(batch_size))
+        return self._runners[batch_size]
 
     def _make_step(self, batch_size: int):
         lp_g = self.lp_g
@@ -129,6 +136,7 @@ class FactorGSM:
             nprint=nprint,
             verbose=verbose,
             batch_size=batch_size,
+            run_chunk=self._get_runner(batch_size),
         )
         if return_state:
             return state
