@@ -16,11 +16,37 @@ from .base import Target, make_target
 
 
 def _gaussian_target(mean, cov, name: str) -> Target:
+    """Gaussian target with *analytic* matmul-form density and score.
+
+    The generic route (autodiff through the triangular-solve logpdf) costs
+    ~50us/eval at D=256 on TPU v5e because triangular solves are
+    panel-sequential; precomputing the precision matrix (in f64 on host, cast
+    once) turns both lp and the score into single MXU matmuls:
+
+        lp(x)  = -0.5 (x-m)^T P (x-m) + 0.5 logdet P - D/2 log 2pi
+        score  = (m - x) @ P
+    """
+    import math
+
+    import numpy as np
+
     mean = jnp.asarray(mean)
     cov = jnp.asarray(cov)
+    d = mean.shape[-1]
     chol = safe_cholesky(cov)
-    t = make_target(lambda x: mvn_logpdf(x, mean, chol), mean.shape[-1],
-                    name=name, mean=mean, cov=cov)
+    prec64 = np.linalg.inv(np.asarray(cov, np.float64))
+    logdet_p = float(np.linalg.slogdet(prec64)[1])
+    prec = jnp.asarray(prec64, mean.dtype)
+    const = 0.5 * logdet_p - 0.5 * d * math.log(2.0 * math.pi)
+
+    def log_prob(x):
+        diff = x - mean
+        maha = jnp.sum((diff @ prec) * diff, axis=-1)
+        return -0.5 * maha + const
+
+    lp = jax.jit(lambda x: jnp.sum(log_prob(x)))
+    lp_g = jax.jit(lambda x: (mean - x) @ prec)
+    t = Target(d=d, lp=lp, lp_g=lp_g, name=name, mean=mean, cov=cov)
     t.sample = lambda key, n: mvn_sample(key, mean, chol, n)
     return t
 
