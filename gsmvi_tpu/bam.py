@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .driver import is_traceable, make_chunk_runner, run_fit_loop
+from .driver import is_traceable, make_chunk_runner, on_tpu, run_fit_loop
 from .ops.bam import Regularizers, bam_lowrank_update, bam_update  # noqa: F401 (re-export)
 from .parallel.mesh import data_sharding
 from .state import VIState, accept_or_revert, init_state
@@ -48,7 +48,7 @@ class BaM:
 
     def __init__(self, D, lp, lp_g, use_lowrank=False, jit_compile=True,
                  mesh=None, data_axis: str = "data", dtype=None,
-                 sqrt_method: str = "eigh"):
+                 sqrt_method: str = "auto"):
         self.D = D
         self.lp = lp
         self.lp_g = lp_g
@@ -57,6 +57,11 @@ class BaM:
         self.mesh = mesh
         self.data_axis = data_axis
         self.dtype = dtype or jnp.zeros(0).dtype
+        # "auto": Newton-Schulz on TPU (measured 12x faster than eigh at
+        # D=256 on v5e - TPU eigh is panel-sequential and very slow), eigh
+        # elsewhere (robust for any conditioning).
+        if sqrt_method == "auto":
+            sqrt_method = "newton" if on_tpu() else "eigh"
         self.sqrt_method = sqrt_method
         self._runners = {}
 
@@ -69,7 +74,8 @@ class BaM:
 
     def _update(self, samples, vs, mean, cov, reg, jitter):
         if self.use_lowrank:
-            return bam_lowrank_update(samples, vs, mean, cov, reg, jitter)
+            return bam_lowrank_update(samples, vs, mean, cov, reg, jitter,
+                                      sqrt_method=self.sqrt_method)
         return bam_update(samples, vs, mean, cov, reg, jitter,
                           sqrt_method=self.sqrt_method)
 

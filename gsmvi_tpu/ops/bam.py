@@ -122,8 +122,9 @@ def _bam_update_impl(samples, vs, mu0, S0, reg, jitter, sqrt_method,
     return mu, s
 
 
-@partial(jax.jit, static_argnames=("jitter",))
-def bam_lowrank_update(samples, vs, mu0, S0, reg, jitter: float = 0.0):
+@partial(jax.jit, static_argnames=("jitter", "sqrt_method", "newton_iters"))
+def bam_lowrank_update(samples, vs, mu0, S0, reg, jitter: float = 0.0,
+                       sqrt_method: str = "eigh", newton_iters: int = 20):
     """Low-rank BaM update; drop-in for reference ``bam_lowrank_update``.
 
     Replaces the reference's host svds factorization (``gsmvi/bam.py:104``)
@@ -141,10 +142,12 @@ def bam_lowrank_update(samples, vs, mu0, S0, reg, jitter: float = 0.0):
     if samples.ndim != 2 or vs.ndim != 2:
         raise ValueError("samples and vs must be (batch, dim) arrays")
     with jax.default_matmul_precision("float32"):
-        return _bam_lowrank_update_impl(samples, vs, mu0, S0, reg, jitter)
+        return _bam_lowrank_update_impl(samples, vs, mu0, S0, reg, jitter,
+                                        sqrt_method, newton_iters)
 
 
-def _bam_lowrank_update_impl(samples, vs, mu0, S0, reg, jitter):
+def _bam_lowrank_update_impl(samples, vs, mu0, S0, reg, jitter, sqrt_method,
+                             newton_iters):
     b = samples.shape[0]
     dtype = S0.dtype
     xbar = jnp.mean(samples, axis=0)
@@ -164,7 +167,13 @@ def _bam_lowrank_update_impl(samples, vs, mu0, S0, reg, jitter):
     mk = f.T @ a                                         # (B+1, B+1)
     k1 = mk.shape[-1]
     eye_k = jnp.eye(k1, dtype=dtype)
-    rt = 0.5 * eye_k + spd_sqrtm(0.5 * (mk + mk.T) + 0.25 * eye_k)
+    inner = 0.5 * (mk + mk.T) + 0.25 * eye_k
+    if sqrt_method == "newton":
+        root = spd_sqrtm_newton(inner, newton_iters)
+        root = 0.5 * (root + root.T)
+    else:
+        root = spd_sqrtm(inner)
+    rt = 0.5 * eye_k + root
     bb = rt @ rt
     kc = jnp.linalg.cholesky(0.5 * (bb + bb.T))
     z = solve_triangular(kc, a.T, lower=True)            # (B+1, D)

@@ -147,3 +147,12 @@ def test_bam_limits_to_gsm_at_infinite_reg(rng):
             assert err < err_prev / 10  # O(1/reg) decay
         err_prev = err
     assert err_prev < 1e-6
+
+
+def test_lowrank_newton_matches_eigh(rng):
+    x, v, mu0, s0 = random_problem(rng, 12, 4)
+    mu_ref, s_ref = bam_lowrank_update(x, v, mu0, s0, 5.0)
+    mu, s = bam_lowrank_update(x, v, mu0, s0, 5.0, sqrt_method="newton",
+                               newton_iters=30)
+    np.testing.assert_allclose(mu, mu_ref, atol=1e-6)
+    np.testing.assert_allclose(s, s_ref, atol=1e-6)
