@@ -76,6 +76,24 @@ def _bam_mu(mu0, xbar, gbar, s, reg):
     return mu0 / (1.0 + reg) + r1 * (s @ gbar + xbar)
 
 
+def _robust_sqrt(m, sqrt_method, newton_iters, rtol=1e-3):
+    """SPD sqrt of ``m``: Newton-Schulz fast path with an eigh fallback.
+
+    Newton-Schulz is matmul-only and ~12x faster than TPU's eigh, but its
+    convergence degrades for ill-conditioned inputs (e.g. BaM's
+    M = I + 4 L^T U L early in an aggressive reg schedule).  The residual
+    ||YY - M||_F / ||M||_F gates a ``lax.cond`` to the eigh branch, so the
+    slow-but-robust path only executes on the hard steps.
+    """
+    if sqrt_method != "newton":
+        return spd_sqrtm(m)
+    root = spd_sqrtm_newton(m, newton_iters)
+    root = 0.5 * (root + root.T)
+    res = jnp.linalg.norm(root @ root - m) / jnp.maximum(
+        jnp.linalg.norm(m), 1e-30)
+    return jax.lax.cond(res < rtol, lambda _: root, spd_sqrtm, m)
+
+
 @partial(jax.jit, static_argnames=("jitter", "sqrt_method", "newton_iters"))
 def bam_update(samples, vs, mu0, S0, reg, jitter: float = 0.0,
                sqrt_method: str = "eigh", newton_iters: int = 20):
@@ -109,11 +127,7 @@ def _bam_update_impl(samples, vs, mu0, S0, reg, jitter, sqrt_method,
     l = jnp.linalg.cholesky(v)
     m = eye + 4.0 * (l.T @ u @ l)
     m = 0.5 * (m + m.T)  # kill matmul round-off asymmetry before eigh
-    if sqrt_method == "newton":
-        sqrt_m = spd_sqrtm_newton(m, newton_iters)
-        sqrt_m = 0.5 * (sqrt_m + sqrt_m.T)
-    else:
-        sqrt_m = spd_sqrtm(m)
+    sqrt_m = _robust_sqrt(m, sqrt_method, newton_iters)
     k = jnp.linalg.cholesky(eye + sqrt_m)
     y = solve_triangular(k, l.T, lower=True)
     s = y.T @ y
@@ -168,12 +182,7 @@ def _bam_lowrank_update_impl(samples, vs, mu0, S0, reg, jitter, sqrt_method,
     k1 = mk.shape[-1]
     eye_k = jnp.eye(k1, dtype=dtype)
     inner = 0.5 * (mk + mk.T) + 0.25 * eye_k
-    if sqrt_method == "newton":
-        root = spd_sqrtm_newton(inner, newton_iters)
-        root = 0.5 * (root + root.T)
-    else:
-        root = spd_sqrtm(inner)
-    rt = 0.5 * eye_k + root
+    rt = 0.5 * eye_k + _robust_sqrt(inner, sqrt_method, newton_iters)
     bb = rt @ rt
     kc = jnp.linalg.cholesky(0.5 * (bb + bb.T))
     z = solve_triangular(kc, a.T, lower=True)            # (B+1, D)
