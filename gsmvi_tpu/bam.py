@@ -88,6 +88,10 @@ class BaM:
         )
 
         def attempt(key, state):
+            with jax.default_matmul_precision("float32"):
+                return _attempt_body(key, state)
+
+        def _attempt_body(key, state):
             key, key_sample = jax.random.split(key)
             eps = jax.random.normal(key_sample, (batch_size, d), dtype)
             if sharding is not None:

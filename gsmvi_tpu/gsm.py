@@ -95,6 +95,13 @@ class GSM:
         cov_sh = self.cov_sharding
 
         def step(state: VIState) -> VIState:
+            # Whole-step true-f32 matmuls: sampling and the user's lp_g run
+            # inside this trace too, and bf16-pass matmuls there destabilize
+            # BaM-style covariance recursions (observed divergence at D=256).
+            with jax.default_matmul_precision("float32"):
+                return _step_body(state)
+
+        def _step_body(state: VIState) -> VIState:
             key, key_sample = jax.random.split(state.key)
             eps = jax.random.normal(key_sample, (batch_size, d), dtype)
             if sharding is not None:

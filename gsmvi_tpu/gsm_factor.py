@@ -79,6 +79,10 @@ class FactorGSM:
         )
 
         def step(state: FactorVIState) -> FactorVIState:
+            with jax.default_matmul_precision("float32"):
+                return _step_body(state)
+
+        def _step_body(state: FactorVIState) -> FactorVIState:
             key, key_sample = jax.random.split(state.key)
             eps = jax.random.normal(key_sample, (batch_size, d), dtype)
             if sharding is not None:
