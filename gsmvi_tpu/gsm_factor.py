@@ -23,8 +23,8 @@ import jax.numpy as jnp
 
 from .distributions import safe_cholesky
 from .driver import is_traceable, make_chunk_runner, run_fit_loop
-from .ops.gsm_factor import (factor_gsm_step_stats, factor_refresh,
-                             factor_to_cov)
+from .ops.gsm_factor import (factor_gsm_step_stats, factor_gsm_step_stats_v2,
+                             factor_refresh, factor_to_cov)
 from .parallel.mesh import data_sharding
 
 
@@ -52,7 +52,10 @@ class FactorGSM:
     """Cholesky-free GSM fitter; ``fit`` surface matches ``GSM.fit``."""
 
     def __init__(self, D, lp, lp_g, mesh=None, data_axis: str = "data",
-                 dtype=None, refresh_every: int = 1000):
+                 dtype=None, refresh_every: int = 1000,
+                 method: str = "twophase"):
+        """``method``: "twophase" (default; matmul-only rank-B update/downdate
+        phases, no QR) or "qr" (thin-QR orthogonal reduction)."""
         self.D = D
         self.lp = lp
         self.lp_g = lp_g
@@ -60,6 +63,7 @@ class FactorGSM:
         self.data_axis = data_axis
         self.dtype = dtype or jnp.zeros(0).dtype
         self.refresh_every = refresh_every
+        self.method = method
         self._runners = {}
 
     def _get_runner(self, batch_size: int):
@@ -73,6 +77,7 @@ class FactorGSM:
         d = self.D
         dtype = self.dtype
         refresh_every = self.refresh_every
+        method = self.method
         sharding = (
             data_sharding(self.mesh, self.data_axis)
             if self.mesh is not None else None
@@ -89,7 +94,9 @@ class FactorGSM:
                 eps = jax.lax.with_sharding_constraint(eps, sharding)
             samples = state.mean + eps @ state.factor.T
             vs = lp_g(samples)
-            dmu, f_new, finv_new, good = factor_gsm_step_stats(
+            step_stats = (factor_gsm_step_stats_v2 if method == "twophase"
+                          else factor_gsm_step_stats)
+            dmu, f_new, finv_new, good = step_stats(
                 samples, vs, state.mean, state.factor, state.finv)
             mean = jnp.where(good, state.mean + dmu, state.mean)
             f = jnp.where(good, f_new, state.factor)

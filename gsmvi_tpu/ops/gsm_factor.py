@@ -137,3 +137,90 @@ def factor_to_cov(F):
     """Materialize the dense covariance S = F F^T (checkpoints/monitors only)."""
     s = F @ F.T
     return 0.5 * (s + s.T)
+
+
+def _update_corr(g, newton_iters):
+    """C = (I + (I+G)^{1/2})^{-1} for the PSD-update phase.
+
+    Solves 2C + C G C = I (the factor equation of I + P P^T) in the G-stable
+    form: substituting X = G^{1/2} C G^{1/2} gives X = (I+G)^{1/2} - I, and
+    because G commutes with (I+G)^{1/2},
+        C = G^{-1/2} X G^{-1/2} = ((I+G)^{1/2} + I)^{-1}
+    — no inverse square root of (possibly singular) G anywhere.  I+G has
+    eigenvalues >= 1, ideal for Newton-Schulz.
+    """
+    from .sqrtm import spd_sqrtm_newton
+
+    k = g.shape[0]
+    eye = jnp.eye(k, dtype=g.dtype)
+    root = spd_sqrtm_newton(eye + g, newton_iters)
+    root = 0.5 * (root + root.T)
+    return jnp.linalg.solve(root + eye, eye), root
+
+
+def _downdate_corr(g, newton_iters):
+    """C = -(I + (I-G)^{1/2})^{-1} for the PSD-downdate phase; also returns
+    ``good`` = PD criterion (I - G > 0 <=> downdated matrix stays PD).
+
+    (I-G)^{1/2} can be arbitrarily ill-conditioned near the PD boundary, so
+    this uses eigh (the matrix is (B x B)-small) with eigenvalue clamping.
+    """
+    k = g.shape[0]
+    eye = jnp.eye(k, dtype=g.dtype)
+    w, q = jnp.linalg.eigh(eye - 0.5 * (g + g.T))
+    good = w[0] > 1e-6
+    root = (q * jnp.sqrt(jnp.maximum(w, 1e-12))) @ q.T
+    return -jnp.linalg.solve(root + eye, eye), good
+
+
+def factor_gsm_step_stats_v2(samples, vs, mu0, F, Finv,
+                             newton_iters: int = 12):
+    """Two-phase factorized GSM update: no QR, no D x D factorization.
+
+    Splits S' = S + U U^T - V V^T into a PSD update then a PSD downdate, each
+    with an exact low-rank square-factor correction of the form
+    (I + P C P^T) where C is a tiny (B x B) matrix from the stable
+    ``(I + (I +/- G)^{1/2})^{-1}`` formula (see _update_corr/_downdate_corr).
+    The D-sized work is ~10 (D x B)-shaped matmuls per step.
+
+    Returns (dmu, F_new, Finv_new, good) like ``factor_gsm_step_stats``.
+    """
+    b, d = samples.shape
+    with jax.default_matmul_precision("float32"):
+        dtype = F.dtype
+
+        # GSM mean update (identical math to the v1 path).
+        a = mu0 - samples
+        t = (vs @ F) @ F.T
+        vsv = jnp.sum(vs * t, axis=-1)
+        mv = jnp.sum(a * vs, axis=-1)
+        rho = 0.5 * (jnp.sqrt(1.0 + 4.0 * (vsv + mv * mv)) - 1.0)
+        eps0 = t - a
+        w = jnp.sum(vs * eps0, axis=-1)
+        dmu_b = (eps0 - a * (w / (1.0 + rho + mv))[:, None]) \
+            / (1.0 + rho)[:, None]
+        bm = a + dmu_b
+        dmu = jnp.mean(dmu_b, axis=0)
+        scale = 1.0 / jnp.sqrt(jnp.asarray(b, dtype))
+        u = a.T * scale                                  # (D, B)
+        v = bm.T * scale                                 # (D, B)
+
+        # Phase 1: S1 = S + U U^T  (always PD).
+        pu = Finv @ u                                    # (D, B)
+        gu = pu.T @ pu
+        cu, _ = _update_corr(gu, newton_iters)
+        f1 = F + (F @ pu) @ (cu @ pu.T)
+        # (I + Pu Cu Pu^T)^{-1} = I - Pu Cu (I + Gu Cu)^{-1} Pu^T
+        eye_b = jnp.eye(b, dtype=dtype)
+        cu_inv = cu @ jnp.linalg.inv(eye_b + gu @ cu)
+        f1inv = Finv - pu @ (cu_inv @ (pu.T @ Finv))
+
+        # Phase 2: S' = S1 - V V^T  (PD iff I - Gv > 0).
+        pv = f1inv @ v                                   # (D, B)
+        gv = pv.T @ pv
+        cv, good = _downdate_corr(gv, newton_iters)
+        f_new = f1 + (f1 @ pv) @ (cv @ pv.T)
+        cv_inv = cv @ jnp.linalg.inv(eye_b + gv @ cv)
+        finv_new = f1inv - pv @ (cv_inv @ (pv.T @ f1inv))
+
+        return dmu, f_new, finv_new, good

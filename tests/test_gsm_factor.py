@@ -109,3 +109,64 @@ def test_factor_refresh_tightens():
     finv_bad = np.linalg.inv(f) + 1e-4 * rng.normal(size=(5, 5))
     finv = factor_refresh(jnp.asarray(f), jnp.asarray(finv_bad), 3)
     assert float(jnp.abs(finv @ f - jnp.eye(5)).max()) < 1e-12
+
+
+class TestTwoPhase:
+    """v2 (two-phase update/downdate, QR-free) factor step."""
+
+    def test_single_step_exact(self, rng):
+        from gsmvi_tpu.ops.gsm_factor import factor_gsm_step_stats_v2
+
+        d, b = 10, 4
+        mu0 = rng.normal(size=d)
+        l = 0.4 * rng.normal(size=(d, d))
+        s0 = l @ l.T + np.eye(d)
+        f = np.linalg.cholesky(s0)
+        finv = np.linalg.inv(f)
+        x = rng.normal(size=(b, d))
+        v = 0.3 * rng.normal(size=(b, d))
+        dmu_ref, ds_ref = gsm_update_stats(x, v, mu0, s0)
+        dmu, fn, finvn, good = factor_gsm_step_stats_v2(x, v, mu0, f, finv,
+                                                        newton_iters=25)
+        assert bool(good)
+        np.testing.assert_allclose(dmu, dmu_ref, atol=1e-11)
+        np.testing.assert_allclose(factor_to_cov(fn), s0 + np.asarray(ds_ref),
+                                   atol=1e-10)
+        np.testing.assert_allclose(finvn @ fn, np.eye(d), atol=1e-10)
+
+    def test_wide_batch(self, rng):
+        """2B > D regime (the one that broke the G^{-1/2} formulation)."""
+        from gsmvi_tpu.ops.gsm_factor import factor_gsm_step_stats_v2
+
+        d, b = 6, 16
+        mu0 = rng.normal(size=d)
+        s0 = np.eye(d)
+        x = rng.normal(size=(b, d))
+        v = 0.2 * rng.normal(size=(b, d))
+        dmu_ref, ds_ref = gsm_update_stats(x, v, mu0, s0)
+        dmu, fn, _, good = factor_gsm_step_stats_v2(
+            x, v, mu0, np.eye(d), np.eye(d), newton_iters=25)
+        assert bool(good)
+        np.testing.assert_allclose(factor_to_cov(fn), s0 + np.asarray(ds_ref),
+                                   atol=1e-10)
+
+    def test_e2e_recovery(self):
+        t = dense_gaussian(jax.random.PRNGKey(3), 10)
+        fg = FactorGSM(D=t.d, lp=t.lp, lp_g=t.lp_g, method="twophase")
+        mean, cov = fg.fit(jax.random.PRNGKey(99), niter=500, batch_size=8,
+                           verbose=False)
+        np.testing.assert_allclose(mean, t.mean, atol=1e-3)
+        np.testing.assert_allclose(cov, t.cov, atol=1e-2)
+
+    def test_downdate_pd_violation_detected(self, rng):
+        from gsmvi_tpu.ops.gsm_factor import factor_gsm_step_stats_v2
+
+        d, b = 4, 1
+        mu0 = np.zeros(d)
+        x = np.ones((b, d))
+        v = 100.0 * np.ones((b, d))
+        _, _, _, good = factor_gsm_step_stats_v2(
+            x, v, mu0, np.eye(d), np.eye(d))
+        dmu, ds = gsm_update_stats(x, v, mu0, np.eye(d))
+        dense_pd = np.all(np.linalg.eigvalsh(np.eye(d) + np.asarray(ds)) > 0)
+        assert bool(good) == bool(dense_pd)
