@@ -42,8 +42,10 @@ class BaM:
     eager host loop, mainly useful for debugging non-traceable callables).
 
     TPU-native extras mirror ``GSM``: ``mesh``/``data_axis`` shard the MC
-    batch; ``sqrt_method`` picks "eigh" (robust default) or "newton"
-    (matmul-only Newton–Schulz) for the on-device matrix root.
+    batch; ``sqrt_method`` picks the on-device matrix root: "auto" (default:
+    Newton–Schulz on TPU — measured 12x faster than TPU's eigh — with a
+    residual-gated eigh fallback for ill-conditioned steps; plain eigh on
+    CPU/GPU), or explicitly "eigh" / "newton".
     """
 
     def __init__(self, D, lp, lp_g, use_lowrank=False, jit_compile=True,
