@@ -168,3 +168,58 @@ class ADVI:
         if return_state:
             return state, losses
         return mean_fit, cov_fit, losses
+
+    def fit_batch(self, keys, opt, mean=None, cov=None, batch_size=8,
+                  niter=1000):
+        """K independent ADVI replicas in one compiled program.
+
+        Same contract as ``GSM.fit_batch``: ``keys`` (K,) stacked PRNG keys;
+        ``mean``/``cov`` broadcast or carry a leading K axis.  Returns
+        (means (K, D), covs (K, D, D), losses (K, niter+1)).
+        """
+        k = keys.shape[0]
+        dtype = self.dtype
+        d = self.D
+
+        def broadcast(x, default, shape):
+            if x is None:
+                x = default
+            x = jnp.asarray(x, dtype)
+            if x.ndim == len(shape):
+                x = jnp.broadcast_to(x, (k, *shape))
+            return x
+
+        means0 = broadcast(mean, jnp.zeros(d, dtype), (d,))
+        covs0 = broadcast(cov, jnp.eye(d, dtype=dtype), (d, d))
+
+        def loss_fn(params, key):
+            return self.neg_elbo(params, key, batch_size)
+
+        def step(state: ADVIState) -> ADVIState:
+            key, key_step = jax.random.split(state.key)
+            params = (state.loc, state.scales)
+            loss, grads = jax.value_and_grad(loss_fn)(params, key_step)
+            updates, opt_state2 = opt.update(grads, state.opt_state, params)
+            loc, scales = optax.apply_updates(params, updates)
+            return ADVIState(loc, scales, opt_state2, key, state.step + 1,
+                             loss)
+
+        def init_one(kk, m, c):
+            l0 = jnp.linalg.cholesky(c)
+            scales = l0[self.idx_tril]
+            params = (m, scales)
+            return ADVIState(m, scales, opt.init(params), kk,
+                             jnp.zeros((), jnp.int32), jnp.zeros((), dtype))
+
+        state = jax.vmap(init_one)(keys, means0, covs0)
+
+        @jax.jit
+        def run(s):
+            def body(c, _):
+                c2 = jax.vmap(step)(c)
+                return c2, c2.loss
+            return jax.lax.scan(body, s, None, length=niter + 1)
+
+        state, losses = run(state)
+        covs = jax.vmap(self.scales_to_cov)(state.scales)
+        return state.loc, covs, np.asarray(losses).T

@@ -25,3 +25,4 @@ from .funnel import funnel
 from .banana import banana
 from .mixture import gaussian_mixture
 from .regression import logistic_regression
+from .student_t import student_t

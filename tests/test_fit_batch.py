@@ -63,3 +63,19 @@ def test_factor_gsm_fit_batch():
     assert covs.shape == (3, 6, 6)
     for i in range(3):
         np.testing.assert_allclose(means[i], t.mean, atol=1e-2)
+
+
+def test_advi_fit_batch():
+    import optax
+    from gsmvi_tpu import ADVI
+
+    t = dense_gaussian(jax.random.PRNGKey(3), 4)
+    advi = ADVI(D=4, lp=t.lp)
+    keys = jax.random.split(jax.random.PRNGKey(0), 3)
+    means, covs, losses = advi.fit_batch(keys, optax.adam(1e-2),
+                                         batch_size=16, niter=2000)
+    assert means.shape == (3, 4) and covs.shape == (3, 4, 4)
+    assert losses.shape == (3, 2001)
+    for i in range(3):
+        np.testing.assert_allclose(means[i], t.mean, atol=0.3)
+        assert losses[i, -100:].mean() < losses[i, :100].mean()

@@ -82,3 +82,32 @@ def test_make_target_convention(rng):
     x = jnp.asarray(rng.normal(size=(4, 3)))
     assert np.asarray(t.lp(x)).shape == ()
     np.testing.assert_allclose(t.lp_g(x), -x, atol=1e-12)
+
+
+def test_student_t_target():
+    from gsmvi_tpu.models import student_t
+
+    t = student_t(jax.random.PRNGKey(0), 5, df=6.0)
+    # score vs finite differences
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(2, 5)))
+    g = np.asarray(t.lp_g(x))
+    eps = 1e-6
+    fd = (float(t.lp(x.at[0, 2].add(eps))) - float(t.lp(x.at[0, 2].add(-eps)))) / (2 * eps)
+    assert g[0, 2] == pytest.approx(fd, rel=1e-4, abs=1e-4)
+    # sampler moments match analytic mean/cov
+    draws = np.asarray(t.ref_samples(jax.random.PRNGKey(2), 400_000))
+    np.testing.assert_allclose(draws.mean(0), t.mean, atol=0.05)
+    np.testing.assert_allclose(np.cov(draws.T), t.cov,
+                               atol=0.1 * np.abs(np.asarray(t.cov)).max())
+
+
+def test_gsm_on_student_t_stays_valid():
+    from gsmvi_tpu import GSM
+    from gsmvi_tpu.models import student_t
+
+    t = student_t(jax.random.PRNGKey(0), 5, df=6.0)
+    gsm = GSM(D=5, lp=t.lp, lp_g=t.lp_g)
+    state = gsm.fit(jax.random.PRNGKey(1), niter=800, batch_size=32,
+                    verbose=False, return_state=True)
+    assert np.all(np.linalg.eigvalsh(np.asarray(state.cov)) > 0)
+    np.testing.assert_allclose(np.asarray(state.mean), t.mean, atol=0.2)
