@@ -31,7 +31,10 @@ def time_ours(t):
     import jax
     from gsmvi_tpu import GSM
 
-    gsm = GSM(D=D, lp=t.lp, lp_g=t.lp_g)
+    # use_pallas=False: at this config the fused kernel is within noise of
+    # the XLA path (~14k it/s both) and the XLA HLO compiles much faster on
+    # a cold remote-compile cache, keeping bench wall time predictable.
+    gsm = GSM(D=D, lp=t.lp, lp_g=t.lp_g, use_pallas=False)
 
     def run(niter):
         return gsm.fit(jax.random.PRNGKey(0), niter=niter, batch_size=BATCH,
