@@ -27,6 +27,7 @@ import numpy as np
 import optax
 
 from .distributions import mvn_logpdf
+from .driver import RunnerCache, make_chunk_runner, run_fit_loop
 from .parallel.mesh import data_sharding
 from .state import VIState  # noqa: F401  (monitor protocol shares shapes)
 
@@ -54,7 +55,7 @@ class ADVI:
         self.data_axis = data_axis
         self.dtype = dtype or jnp.zeros(0).dtype
         self.idx_tril = jnp.tril_indices(D)
-        self._runners = {}
+        self._runners = RunnerCache()
 
     # -- parameterization ---------------------------------------------------
     def scales_to_tril(self, scales):
@@ -87,6 +88,24 @@ class ADVI:
             logl = jnp.sum(self.lp(samples))
             return -(logl - logq)
 
+    def _make_step(self, batch_size: int, opt):
+        """One jitted ADVI step: (state) -> (state, loss) — the aux contract
+        of ``run_fit_loop(collect_aux=True)``."""
+
+        def loss_fn(params, key):
+            return self.neg_elbo(params, key, batch_size)
+
+        def step(state: ADVIState):
+            key, key_step = jax.random.split(state.key)
+            params = (state.loc, state.scales)
+            loss, grads = jax.value_and_grad(loss_fn)(params, key_step)
+            updates, opt_state2 = opt.update(grads, state.opt_state, params)
+            loc, scales = optax.apply_updates(params, updates)
+            return (ADVIState(loc, scales, opt_state2, key, state.step + 1,
+                              loss), loss)
+
+        return step
+
     def fit(self, key, opt, mean=None, cov=None, batch_size=8, niter=1000,
             nprint=10, verbose=True, monitor=None, return_state=False):
         """Run the fit; signature parity with reference ``gsmvi/advi.py:47``.
@@ -104,70 +123,31 @@ class ADVI:
         l0 = jnp.linalg.cholesky(jnp.asarray(cov, dtype))
         scales = l0[self.idx_tril]
         params = (jnp.asarray(mean, dtype), scales)
-        opt_state = opt.init(params)
-
-        def loss_fn(params, key):
-            return self.neg_elbo(params, key, batch_size)
-
-        def step(state: ADVIState) -> ADVIState:
-            key, key_step = jax.random.split(state.key)
-            params = (state.loc, state.scales)
-            loss, grads = jax.value_and_grad(loss_fn)(params, key_step)
-            updates, opt_state2 = opt.update(grads, state.opt_state, params)
-            loc, scales = optax.apply_updates(params, updates)
-            return ADVIState(loc, scales, opt_state2, key, state.step + 1, loss)
-
-        state = ADVIState(params[0], params[1], opt_state, key,
+        state = ADVIState(params[0], params[1], opt.init(params), key,
                           jnp.zeros((), jnp.int32), jnp.zeros((), dtype))
 
-        # Collect the per-step loss trace on device via scan; the driver's
-        # chunking contract only sees the state, so losses are accumulated in
-        # fixed-size chunks here.
-        losses = []
-        from functools import partial
-
-        runner_key = (batch_size, id(opt))
-        if runner_key not in self._runners:
-            @partial(jax.jit, static_argnums=1)
-            def run_chunk(s, k):
-                def body(c, _):
-                    c2 = step(c)
-                    return c2, c2.loss
-                return jax.lax.scan(body, s, None, length=k)
-            self._runners[runner_key] = run_chunk
-        run_chunk = self._runners[runner_key]
-
-        checkpoint = getattr(monitor, "checkpoint", None) if monitor is not None else None
-        total = niter + 1
-        print_every = (max(1, niter // min(nprint, max(niter, 1)))
-                       if (verbose and nprint) else 0)
-        nevals = 1
-        i = 0
-        while i < total:
-            if print_every and i % print_every == 0:
-                print(f"Iteration {i} of {niter}")
-            if monitor is not None and checkpoint and i % checkpoint == 0:
-                monitor(i, [state.loc, self.scales_to_cov(state.scales)],
-                        self.lp, state.key, nevals=nevals)
-                nevals = 0
-            nxt = total
-            for c in (checkpoint, print_every):
-                if c:
-                    nxt = min(nxt, ((i // c) + 1) * c)
-            k = nxt - i
-            state, chunk_losses = run_chunk(state, k)
-            losses.append(np.asarray(chunk_losses))
-            nevals += k * batch_size
-            i += k
-
-        mean_fit = state.loc
-        cov_fit = self.scales_to_cov(state.scales)
-        if monitor is not None:
-            monitor(niter, [mean_fit, cov_fit], self.lp, state.key, nevals=nevals)
-        losses = np.concatenate(losses) if losses else np.zeros(0)
+        step = self._make_step(batch_size, opt)
+        # ``opt`` is identity-keyed; RunnerCache pins it against id reuse.
+        run_chunk = self._runners.get(
+            (batch_size,), (opt,),
+            lambda: make_chunk_runner(step, collect_aux=True))
+        state, losses = run_fit_loop(
+            step,
+            state,
+            niter,
+            monitor=monitor,
+            monitor_params=lambda s: [s.loc, self.scales_to_cov(s.scales)],
+            lp=self.lp,
+            nprint=nprint,
+            verbose=verbose,
+            batch_size=batch_size,
+            run_chunk=run_chunk,
+            collect_aux=True,
+        )
+        losses = np.asarray(losses)
         if return_state:
             return state, losses
-        return mean_fit, cov_fit, losses
+        return state.loc, self.scales_to_cov(state.scales), losses
 
     def fit_batch(self, keys, opt, mean=None, cov=None, batch_size=8,
                   niter=1000):
@@ -192,18 +172,6 @@ class ADVI:
         means0 = broadcast(mean, jnp.zeros(d, dtype), (d,))
         covs0 = broadcast(cov, jnp.eye(d, dtype=dtype), (d, d))
 
-        def loss_fn(params, key):
-            return self.neg_elbo(params, key, batch_size)
-
-        def step(state: ADVIState) -> ADVIState:
-            key, key_step = jax.random.split(state.key)
-            params = (state.loc, state.scales)
-            loss, grads = jax.value_and_grad(loss_fn)(params, key_step)
-            updates, opt_state2 = opt.update(grads, state.opt_state, params)
-            loc, scales = optax.apply_updates(params, updates)
-            return ADVIState(loc, scales, opt_state2, key, state.step + 1,
-                             loss)
-
         def init_one(kk, m, c):
             l0 = jnp.linalg.cholesky(c)
             scales = l0[self.idx_tril]
@@ -212,13 +180,12 @@ class ADVI:
                              jnp.zeros((), jnp.int32), jnp.zeros((), dtype))
 
         state = jax.vmap(init_one)(keys, means0, covs0)
+        step = jax.vmap(self._make_step(batch_size, opt))
 
         @jax.jit
         def run(s):
-            def body(c, _):
-                c2 = jax.vmap(step)(c)
-                return c2, c2.loss
-            return jax.lax.scan(body, s, None, length=niter + 1)
+            return jax.lax.scan(lambda c, _: step(c), s, None,
+                                length=niter + 1)
 
         state, losses = run(state)
         covs = jax.vmap(self.scales_to_cov)(state.scales)

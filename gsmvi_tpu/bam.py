@@ -28,7 +28,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .driver import is_traceable, make_chunk_runner, on_tpu, run_fit_loop
+from .driver import (RunnerCache, is_traceable, make_chunk_runner, on_tpu,
+                     run_fit_loop)
 from .ops.bam import Regularizers, bam_lowrank_update, bam_update  # noqa: F401 (re-export)
 from .parallel.mesh import data_sharding
 from .state import VIState, accept_or_revert, init_state
@@ -65,14 +66,15 @@ class BaM:
         if sqrt_method == "auto":
             sqrt_method = "newton" if on_tpu() else "eigh"
         self.sqrt_method = sqrt_method
-        self._runners = {}
+        self._runners = RunnerCache()
 
     def _get_runner(self, batch_size, regf, retries, jitter):
-        key = (batch_size, id(regf), retries, jitter)
-        if key not in self._runners:
-            self._runners[key] = make_chunk_runner(
-                self._make_step(batch_size, regf, retries, jitter))
-        return self._runners[key]
+        # ``regf`` is keyed by identity (closures are unhashable in general);
+        # RunnerCache pins it so a GC'd schedule's id can never alias a new one.
+        return self._runners.get(
+            (batch_size, retries, jitter), (regf,),
+            lambda: make_chunk_runner(
+                self._make_step(batch_size, regf, retries, jitter)))
 
     def _update(self, samples, vs, mean, cov, reg, jitter):
         if self.use_lowrank:

@@ -43,9 +43,53 @@ def is_traceable(fn: Callable, *args_shape_dtype) -> bool:
         return False
 
 
-def make_chunk_runner(step: Callable) -> Callable:
+class RunnerCache:
+    """Bounded cache of compiled chunk runners keyed partly on object identity.
+
+    Fitters key runners on unhashable config objects (regularizer closures,
+    optax optimizers) via ``id()``.  A bare id key is unsound: CPython reuses
+    ids after garbage collection, so a new object could silently hit a stale
+    compiled closure.  This cache therefore stores a *strong reference* to
+    every keyed object alongside its runner — while an entry lives, its ids
+    cannot be reused — and evicts FIFO beyond ``maxsize`` (dropping the entry
+    releases the object and its compiled runner together).
+    """
+
+    def __init__(self, maxsize: int = 16):
+        self._entries = {}
+        self._maxsize = maxsize
+
+    def get(self, static_key, key_objs: tuple, build: Callable) -> Callable:
+        key = (static_key, tuple(id(o) for o in key_objs))
+        hit = self._entries.get(key)
+        if hit is not None:
+            return hit[1]
+        runner = build()
+        if len(self._entries) >= self._maxsize:
+            self._entries.pop(next(iter(self._entries)))
+        self._entries[key] = (key_objs, runner)
+        return runner
+
+    def holds(self, obj) -> bool:
+        """True if ``obj`` is currently pinned by a cache entry (tests)."""
+        return any(any(o is obj for o in objs)
+                   for objs, _ in self._entries.values())
+
+
+def make_chunk_runner(step: Callable, collect_aux: bool = False) -> Callable:
     """Jitted (state, k) -> state running ``k`` scanned steps; build once per
-    fitter configuration and reuse so repeated fits skip re-tracing."""
+    fitter configuration and reuse so repeated fits skip re-tracing.
+
+    With ``collect_aux`` the step must return ``(state, aux)`` and the runner
+    returns ``(state, stacked_aux)`` — used by ADVI to thread its per-step
+    loss trace through the shared fit loop."""
+
+    if collect_aux:
+        @partial(jax.jit, static_argnums=1)
+        def run_chunk(s, k):
+            return jax.lax.scan(lambda c, _: step(c), s, None, length=k)
+
+        return run_chunk
 
     @partial(jax.jit, static_argnums=1)
     def run_chunk(s, k):
@@ -77,6 +121,7 @@ def run_fit_loop(
     eager_step: Optional[Callable] = None,
     use_scan: bool = True,
     run_chunk: Optional[Callable] = None,
+    collect_aux: bool = False,
 ):
     """Run ``niter + 1`` update steps (reference iterates ``range(niter + 1)``,
     ``gsmvi/gsm.py:107``) with reference-parity monitor/print semantics.
@@ -92,8 +137,11 @@ def run_fit_loop(
                      passing the same callable across ``fit`` calls lets jit's
                      python-level cache skip re-tracing (fitters cache one per
                      batch size).
+    collect_aux    — when True, ``step`` returns ``(state, aux)`` and the loop
+                     returns ``(state, aux)`` with per-step aux leaves
+                     concatenated over all ``niter + 1`` steps (scan path only).
 
-    Returns the final state.
+    Returns the final state (or ``(state, aux)`` with ``collect_aux``).
     """
     total = niter + 1
     checkpoint = getattr(monitor, "checkpoint", None) if monitor is not None else None
@@ -102,8 +150,10 @@ def run_fit_loop(
 
     if use_scan:
         if run_chunk is None:
-            run_chunk = make_chunk_runner(step)
+            run_chunk = make_chunk_runner(step, collect_aux=collect_aux)
     else:
+        if collect_aux:
+            raise ValueError("collect_aux requires the compiled scan path")
         step_fn = eager_step if eager_step is not None else step
 
         def run_chunk(s, k):
@@ -117,6 +167,7 @@ def run_fit_loop(
     # ``gsmvi/bam.py:177``).
     print_every = max(1, niter // min(nprint, max(niter, 1))) if (verbose and nprint) else 0
     cadences = (checkpoint, print_every)
+    aux_chunks = []
     i = 0
     while i < total:
         if print_every and i % print_every == 0:
@@ -125,13 +176,21 @@ def run_fit_loop(
             monitor(i, monitor_params(state), lp, state.key, nevals=nevals)
             nevals = 0
         k = _next_event(i, total, cadences) - i
-        state = run_chunk(state, k)
+        if collect_aux:
+            state, aux = run_chunk(state, k)
+            aux_chunks.append(aux)
+        else:
+            state = run_chunk(state, k)
         nevals += k * batch_size
         i += k
     if monitor is not None:
         # Reference issues one extra monitor call after the loop with i=niter
         # (``gsmvi/gsm.py:131-132``).
         monitor(niter, monitor_params(state), lp, state.key, nevals=nevals)
+    if collect_aux:
+        aux = jax.tree_util.tree_map(
+            lambda *xs: jax.numpy.concatenate(xs, axis=0), *aux_chunks)
+        return state, aux
     return state
 
 

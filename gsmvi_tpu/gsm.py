@@ -81,7 +81,11 @@ class GSM:
                     and self.dtype == jnp.float32
                     and pallas_supported(batch_size, self.D)
                     and batch_size * self.D >= 4096)
-        return bool(self.use_pallas) and pallas_supported(batch_size, self.D)
+        # Explicit use_pallas=True still requires a TPU backend: compiling the
+        # kernel with interpret=False on CPU/GPU fails at lowering, so fall
+        # back to the XLA path there rather than erroring.
+        return (bool(self.use_pallas) and on_tpu()
+                and pallas_supported(batch_size, self.D))
 
     # -- compiled step ------------------------------------------------------
     def _make_step(self, batch_size: int):

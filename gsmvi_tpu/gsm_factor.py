@@ -117,20 +117,25 @@ class FactorGSM:
 
     def fit(self, key, mean=None, cov=None, batch_size=2, niter=5000,
             nprint=10, verbose=True, check_goodness=True, monitor=None,
-            return_state=False):
-        """Same contract as ``GSM.fit`` (reference ``gsmvi/gsm.py:79``)."""
+            return_state=False, state=None):
+        """Same contract as ``GSM.fit`` (reference ``gsmvi/gsm.py:79``).
+
+        ``state`` — optional ``FactorVIState`` (from ``return_state=True``)
+        resuming the exact trajectory, ignoring ``key``/``mean``/``cov``.
+        """
         dtype = self.dtype
-        mean0 = (jnp.zeros(self.D, dtype) if mean is None
-                 else jnp.asarray(mean, dtype))
-        if cov is None:
-            f0 = jnp.eye(self.D, dtype=dtype)
-            finv0 = jnp.eye(self.D, dtype=dtype)
-        else:
-            f0 = safe_cholesky(jnp.asarray(cov, dtype))
-            finv0 = jax.scipy.linalg.solve_triangular(
-                f0, jnp.eye(self.D, dtype=dtype), lower=True)
-        zero = jnp.zeros((), jnp.int32)
-        state = FactorVIState(mean0, f0, finv0, key, zero, zero, zero)
+        if state is None:
+            mean0 = (jnp.zeros(self.D, dtype) if mean is None
+                     else jnp.asarray(mean, dtype))
+            if cov is None:
+                f0 = jnp.eye(self.D, dtype=dtype)
+                finv0 = jnp.eye(self.D, dtype=dtype)
+            else:
+                f0 = safe_cholesky(jnp.asarray(cov, dtype))
+                finv0 = jax.scipy.linalg.solve_triangular(
+                    f0, jnp.eye(self.D, dtype=dtype), lower=True)
+            zero = jnp.zeros((), jnp.int32)
+            state = FactorVIState(mean0, f0, finv0, key, zero, zero, zero)
 
         probe = jax.ShapeDtypeStruct((batch_size, self.D), dtype)
         if not is_traceable(self.lp_g, probe):

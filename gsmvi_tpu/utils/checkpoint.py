@@ -29,11 +29,15 @@ _FIELDS = ("mean", "cov", "chol", "key", "step", "n_accepted", "n_rejected")
 
 def save_state(path: str, state: VIState) -> None:
     """Write a ``VIState`` to ``path`` (.npz appended if missing)."""
-    arrays = {f: np.asarray(getattr(state, f)) for f in _FIELDS}
-    # jax PRNG keys may be typed key arrays; store raw key data.
-    if hasattr(state.key, "dtype") and jnp.issubdtype(state.key.dtype, jax.dtypes.prng_key):
-        arrays["key"] = np.asarray(jax.random.key_data(state.key))
+    # The key is handled separately: new-style typed PRNG keys reject
+    # np.asarray, so they must never enter the generic comprehension.
+    arrays = {f: np.asarray(getattr(state, f)) for f in _FIELDS if f != "key"}
+    key = state.key
+    if hasattr(key, "dtype") and jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+        arrays["key"] = np.asarray(jax.random.key_data(key))
         arrays["_key_typed"] = np.asarray(True)
+    else:
+        arrays["key"] = np.asarray(key)
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     np.savez(path if path.endswith(".npz") else path + ".npz", **arrays)
 

@@ -102,6 +102,11 @@ class KLMonitor:
         sampling + q-density side is a single jitted device computation.
         """
         mean, cov = params[0], params[1]
+        # The numpy-compat fitter passes a plain int seed where the JAX
+        # fitters pass a PRNG key (reference ``gsmvi/gsm_numpy.py:82,105``);
+        # coerce so the split below cannot raise outside the try block.
+        if isinstance(key, (int, np.integer)):
+            key = jax.random.PRNGKey(int(key))
         key, key_sample, key_idx = jax.random.split(key, 3)
         try:
             chol = safe_cholesky(jnp.asarray(cov))
