@@ -85,6 +85,48 @@ def sharded_bam_stats(mesh: Mesh, lp_g, samples, axis: str = "data"):
     return stats(samples)
 
 
+def sharded_gsm_fit(mesh: Mesh, lp_g, key, d: int, niter: int,
+                    batch_size: int, mean=None, cov=None, axis: str = "data",
+                    dtype=None):
+    """Full GSM fit driven by the explicit shard_map step.
+
+    The whole fit is one jitted scan whose body samples on device (eps
+    carries a ``P(axis, None)`` sharding constraint, identical to the GSPMD
+    fitter's layout), computes the update via ``sharded_gsm_stats`` —
+    per-shard Gram partials ``psum``-reduced over ``axis`` — and applies the
+    on-device accept/revert.  Semantically identical to ``GSM(mesh=...).fit``;
+    exists so the collective placement is explicit rather than
+    GSPMD-inferred (and as the correctness oracle pinning the GSPMD path).
+
+    Returns the final ``VIState``.
+    """
+    from jax.sharding import NamedSharding
+
+    from ..state import accept_or_revert, init_state
+
+    sharding = NamedSharding(mesh, P(axis, None))
+    state = init_state(key, d, mean, cov, dtype)
+    dt = state.mean.dtype
+
+    def step(state):
+        with jax.default_matmul_precision("float32"):
+            key, key_sample = jax.random.split(state.key)
+            eps = jax.random.normal(key_sample, (batch_size, d), dt)
+            eps = jax.lax.with_sharding_constraint(eps, sharding)
+            samples = state.mean + eps @ state.chol.T
+            dmu, ds = sharded_gsm_stats(mesh, lp_g, samples, state.mean,
+                                        state.cov, axis=axis)
+            return accept_or_revert(state, state.mean + dmu, state.cov + ds,
+                                    key)
+
+    @jax.jit
+    def run(s):
+        return jax.lax.scan(lambda c, _: (step(c), None), s, None,
+                            length=niter + 1)[0]
+
+    return run(state)
+
+
 def sharded_score_eval(mesh: Mesh, lp_g, samples, axis: str = "data"):
     """Evaluate ``lp_g`` data-parallel over the mesh; output stays sharded."""
 

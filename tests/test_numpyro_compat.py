@@ -1,0 +1,171 @@
+"""numpyro interop adapter tests.
+
+The reference's whole example surface is numpyro-built targets
+(``/root/reference/examples/example_gsm.py:20-24,34-35``).  numpyro is an
+optional extra here; these tests run the adapter three ways:
+
+1. ``from_distribution`` against any ``log_prob``-bearing object — exercised
+   with the native ``distributions.Gaussian`` (same duck-type numpyro's
+   ``MultivariateNormal`` exposes), so it always runs.
+2. ``from_numpyro_model``'s ``log_density`` glue — exercised against a stub
+   module implementing numpyro's ``log_density(model, args, kwargs, params)
+   -> (density, trace)`` contract, so the vmap/flatten/autodiff wiring always
+   runs even without numpyro installed.
+3. The real thing — skipped unless numpyro is importable.
+"""
+
+import sys
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gsmvi_tpu import GSM
+from gsmvi_tpu.distributions import Gaussian
+from gsmvi_tpu.models.numpyro_compat import from_distribution, from_numpyro_model
+
+HAS_NUMPYRO = True
+try:
+    import numpyro  # noqa: F401
+except ImportError:
+    HAS_NUMPYRO = False
+
+
+def _dense_cov(rng, d):
+    l = 0.3 * rng.normal(size=(d, d))
+    return l @ l.T + np.eye(d)
+
+
+def test_from_distribution_duck_type(rng):
+    d = 6
+    loc = rng.normal(size=d)
+    cov = _dense_cov(rng, d)
+    t = from_distribution(Gaussian(loc, cov), d)
+    x = rng.normal(size=(4, d))
+    # lp follows the reference's batch-sum convention (a scalar).
+    lp = np.asarray(t.lp(x))
+    assert lp.shape == ()
+    expected_sum = sum(float(Gaussian(loc, cov).log_prob(xi)) for xi in x)
+    np.testing.assert_allclose(float(lp), expected_sum, rtol=1e-8)
+    # score must be the analytic Gaussian score
+    expected = np.linalg.solve(cov, (loc - x[0]))
+    np.testing.assert_allclose(np.asarray(t.lp_g(x))[0], expected,
+                               rtol=1e-8, atol=1e-8)
+    # metadata propagated from the distribution
+    np.testing.assert_allclose(np.asarray(t.mean), loc)
+    np.testing.assert_allclose(np.asarray(t.cov), cov, rtol=1e-10)
+    # sampling surface works
+    s = t.sample(jax.random.PRNGKey(0), 5)
+    assert np.asarray(s).shape == (5, d)
+
+
+def test_gsm_fit_on_from_distribution_target(rng):
+    d = 5
+    loc = rng.normal(size=d)
+    cov = _dense_cov(rng, d)
+    t = from_distribution(Gaussian(loc, cov), d)
+    gsm = GSM(D=d, lp=t.lp, lp_g=t.lp_g)
+    mean, cov_fit = gsm.fit(jax.random.PRNGKey(0), niter=500, batch_size=8,
+                            verbose=False)
+    np.testing.assert_allclose(np.asarray(mean), loc, atol=0.1)
+    np.testing.assert_allclose(np.asarray(cov_fit), cov, atol=0.3)
+
+
+@pytest.fixture
+def log_density_stub(monkeypatch):
+    """Install a minimal ``numpyro.infer.util.log_density`` implementing the
+    call contract ``(model, args, kwargs, params) -> (density, trace)``."""
+    if HAS_NUMPYRO:
+        yield None  # real numpyro present; no stub needed
+        return
+
+    util = types.ModuleType("numpyro.infer.util")
+
+    def log_density(model, model_args, model_kwargs, params):
+        return model(params, *model_args, **model_kwargs), {}
+
+    util.log_density = log_density
+    infer = types.ModuleType("numpyro.infer")
+    infer.util = util
+    root = types.ModuleType("numpyro")
+    root.infer = infer
+    monkeypatch.setitem(sys.modules, "numpyro", root)
+    monkeypatch.setitem(sys.modules, "numpyro.infer", infer)
+    monkeypatch.setitem(sys.modules, "numpyro.infer.util", util)
+    yield util
+
+
+def test_from_numpyro_model_glue(rng, log_density_stub):
+    """The adapter's vmap/flatten/score path, via the log_density contract."""
+    d = 4
+    loc = jnp.asarray(rng.normal(size=d))
+
+    if HAS_NUMPYRO:
+        import numpyro
+        import numpyro.distributions as dist
+
+        def model(scale=1.0):
+            numpyro.sample("x", dist.Normal(loc, scale).to_event(1))
+    else:
+        def model(params, scale=1.0):
+            v = params["x"]
+            return -0.5 * jnp.sum(((v - loc) / scale) ** 2) \
+                - 0.5 * d * jnp.log(2 * jnp.pi * scale ** 2)
+
+    t = from_numpyro_model(model, d, model_kwargs={"scale": 1.0})
+    x = jnp.asarray(rng.normal(size=(3, d)))
+    lp = np.asarray(t.lp(x))  # batch-summed scalar (reference convention)
+    expected_lp = np.sum(
+        -0.5 * np.sum((np.asarray(x) - np.asarray(loc)) ** 2, -1)
+        - 0.5 * d * np.log(2 * np.pi))
+    np.testing.assert_allclose(float(lp), expected_lp, rtol=1e-6)
+    # lp_g comes from make_target's autodiff of the adapted density
+    np.testing.assert_allclose(np.asarray(t.lp_g(x)),
+                               np.asarray(loc) - np.asarray(x), rtol=1e-6)
+
+
+def test_from_numpyro_model_custom_flatten(rng, log_density_stub):
+    """Two-site model addressed through a custom flatten map."""
+    d = 4  # 2 sites x 2 dims
+
+    if HAS_NUMPYRO:
+        import numpyro
+        import numpyro.distributions as dist
+
+        def model():
+            numpyro.sample("a", dist.Normal(0.0, 1.0).expand([2]).to_event(1))
+            numpyro.sample("b", dist.Normal(1.0, 2.0).expand([2]).to_event(1))
+    else:
+        def model(params):
+            a, b = params["a"], params["b"]
+            return (-0.5 * jnp.sum(a ** 2)
+                    - 0.5 * jnp.sum(((b - 1.0) / 2.0) ** 2)
+                    - 2 * jnp.log(2 * jnp.pi) - 2 * jnp.log(2.0))
+
+    t = from_numpyro_model(model, d,
+                           flatten=lambda v: {"a": v[:2], "b": v[2:]})
+    x = jnp.asarray(rng.normal(size=(3, d)))
+    lp = np.asarray(t.lp(x))  # batch-summed scalar
+    xa, xb = np.asarray(x[:, :2]), np.asarray(x[:, 2:])
+    expected = np.sum(-0.5 * np.sum(xa ** 2, -1)
+                      - 0.5 * np.sum(((xb - 1.0) / 2.0) ** 2, -1)
+                      - 2 * np.log(2 * np.pi) - 2 * np.log(2.0))
+    np.testing.assert_allclose(float(lp), expected, rtol=1e-6)
+
+
+@pytest.mark.skipif(not HAS_NUMPYRO, reason="numpyro not installed")
+def test_real_numpyro_mvn_end_to_end(rng):
+    """Mirror the reference example: numpyro MVN target -> GSM fit."""
+    import numpyro.distributions as dist
+
+    d = 5
+    loc = jnp.asarray(rng.normal(size=d))
+    cov = jnp.asarray(_dense_cov(rng, d))
+    t = from_distribution(dist.MultivariateNormal(loc=loc,
+                                                  covariance_matrix=cov), d)
+    gsm = GSM(D=d, lp=t.lp, lp_g=t.lp_g)
+    mean, cov_fit = gsm.fit(jax.random.PRNGKey(99), niter=500, batch_size=8,
+                            verbose=False)
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(loc), atol=0.1)

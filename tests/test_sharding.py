@@ -124,3 +124,37 @@ def test_2d_mesh_cov_sharded_fit_matches(eight_devices, target):
     m2, c2 = gsm.fit(jax.random.PRNGKey(9), **kw)
     np.testing.assert_allclose(m1, m2, atol=1e-8)
     np.testing.assert_allclose(c1, c2, atol=1e-8)
+
+
+def test_shard_map_full_fit_matches_gspmd(mesh, target):
+    """VERDICT #7: FULL fit through the explicit shard_map step must equal
+    the GSPMD fitter's trajectory (same keys, same sampling layout)."""
+    from gsmvi_tpu.parallel.sharded import sharded_gsm_fit
+
+    t = target
+    kw = dict(niter=60, batch_size=16, verbose=False)
+    m1, c1 = GSM(D=t.d, lp=t.lp, lp_g=t.lp_g, mesh=mesh).fit(
+        jax.random.PRNGKey(9), **kw)
+    state = sharded_gsm_fit(mesh, t.lp_g, jax.random.PRNGKey(9), t.d,
+                            niter=60, batch_size=16)
+    np.testing.assert_allclose(np.asarray(state.mean), np.asarray(m1),
+                               atol=1e-8)
+    np.testing.assert_allclose(np.asarray(state.cov), np.asarray(c1),
+                               atol=1e-8)
+    # and it actually converges to the target
+    np.testing.assert_allclose(np.asarray(state.mean), np.asarray(t.mean),
+                               atol=0.2)
+
+
+def test_monitored_sharded_fit(mesh, target):
+    """KLMonitor under a mesh: the KL estimate reduces over the sharded batch."""
+    from gsmvi_tpu.utils.monitors import KLMonitor
+
+    t = target
+    mon = KLMonitor(batch_size_kl=32, checkpoint=20)
+    gsm = GSM(D=t.d, lp=t.lp, lp_g=t.lp_g, mesh=mesh)
+    gsm.fit(jax.random.PRNGKey(4), niter=60, batch_size=16, verbose=False,
+            monitor=mon)
+    assert len(mon.rkl) == 5  # i=0,20,40,60 + final
+    assert np.isfinite(mon.rkl).all()
+    assert mon.rkl[-1] < mon.rkl[0]
