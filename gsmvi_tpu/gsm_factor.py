@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from .distributions import safe_cholesky
 from .driver import is_traceable, make_chunk_runner, run_fit_loop
+from .ops.gsm_eps import apply_eps_step
 from .ops.gsm_factor import (factor_gsm_step_stats, factor_gsm_step_stats_v2,
                              factor_refresh, factor_to_cov)
 from .parallel.mesh import data_sharding
@@ -53,9 +54,14 @@ class FactorGSM:
 
     def __init__(self, D, lp, lp_g, mesh=None, data_axis: str = "data",
                  dtype=None, refresh_every: int = 1000,
-                 method: str = "twophase"):
-        """``method``: "twophase" (default; matmul-only rank-B update/downdate
-        phases, no QR) or "qr" (thin-QR orthogonal reduction)."""
+                 method: str = "eps"):
+        """``method``:
+        - "eps" (default): eps-coordinate update (ops/gsm_eps.py) — the
+          state is (mean, F) only; no maintained inverse, no QR, no eigh;
+          the small solves are (2B x 2B) Choleskys.
+        - "twophase": round-1 matmul-only rank-B update/downdate phases
+          (maintains Finv).
+        - "qr": thin-QR orthogonal reduction (maintains Finv)."""
         self.D = D
         self.lp = lp
         self.lp_g = lp_g
@@ -94,6 +100,14 @@ class FactorGSM:
                 eps = jax.lax.with_sharding_constraint(eps, sharding)
             samples = state.mean + eps @ state.factor.T
             vs = lp_g(samples)
+            if method == "eps":
+                mean, f, good = apply_eps_step(state.mean, state.factor,
+                                               eps, vs)
+                g32 = good.astype(jnp.int32)
+                return FactorVIState(mean, f, state.finv, key,
+                                     state.step + 1,
+                                     state.n_accepted + g32,
+                                     state.n_rejected + (1 - g32))
             step_stats = (factor_gsm_step_stats_v2 if method == "twophase"
                           else factor_gsm_step_stats)
             dmu, f_new, finv_new, good = step_stats(
@@ -129,9 +143,13 @@ class FactorGSM:
                      else jnp.asarray(mean, dtype))
             if cov is None:
                 f0 = jnp.eye(self.D, dtype=dtype)
-                finv0 = jnp.eye(self.D, dtype=dtype)
             else:
                 f0 = safe_cholesky(jnp.asarray(cov, dtype))
+            if self.method == "eps":
+                # The eps method never applies F^{-1}; carry an empty
+                # placeholder so the scan state stays (mean, F) sized.
+                finv0 = jnp.zeros((0, 0), dtype)
+            else:
                 finv0 = jax.scipy.linalg.solve_triangular(
                     f0, jnp.eye(self.D, dtype=dtype), lower=True)
             zero = jnp.zeros((), jnp.int32)
@@ -178,8 +196,11 @@ class FactorGSM:
 
         def init_one(kk, m, c):
             f0 = safe_cholesky(c)
-            finv0 = jax.scipy.linalg.solve_triangular(
-                f0, jnp.eye(d, dtype=dtype), lower=True)
+            if self.method == "eps":
+                finv0 = jnp.zeros((0, 0), dtype)
+            else:
+                finv0 = jax.scipy.linalg.solve_triangular(
+                    f0, jnp.eye(d, dtype=dtype), lower=True)
             zero = jnp.zeros((), jnp.int32)
             return FactorVIState(m, f0, finv0, kk, zero, zero, zero)
 
