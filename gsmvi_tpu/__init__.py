@@ -21,6 +21,7 @@ the main entry points are re-exported here; reference-style submodule imports
 
 from .advi import ADVI
 from .bam import BaM
+from .bam_factor import FactorBaM
 from .distributions import Gaussian, mvn_kl, mvn_logpdf, mvn_sample
 from .gsm import GSM
 from .gsm_factor import FactorGSM
@@ -34,7 +35,8 @@ from .utils.monitors import KLMonitor
 __version__ = "0.1.0"
 
 __all__ = [
-    "ADVI", "BaM", "FactorGSM", "GSM", "Gaussian", "KLMonitor", "Posterior",
+    "ADVI", "BaM", "FactorBaM", "FactorGSM", "GSM", "Gaussian", "KLMonitor",
+    "Posterior",
     "Regularizers", "VIState",
     "bam_lowrank_update", "bam_update", "gsm_update", "init_state",
     "lbfgs_init", "map_init", "mvn_kl", "mvn_logpdf", "mvn_sample",

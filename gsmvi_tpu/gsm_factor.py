@@ -22,10 +22,12 @@ import jax
 import jax.numpy as jnp
 
 from .distributions import safe_cholesky
-from .driver import is_traceable, make_chunk_runner, run_fit_loop
+from .driver import is_traceable, make_chunk_runner, on_tpu, run_fit_loop
 from .ops.gsm_eps import apply_eps_step
 from .ops.gsm_factor import (factor_gsm_step_stats, factor_gsm_step_stats_v2,
                              factor_refresh, factor_to_cov)
+from .ops.pallas.fused_step import (fused_supported, gsm_eps_update_fused,
+                                    make_fused_eps_step)
 from .parallel.mesh import data_sharding
 
 
@@ -54,14 +56,25 @@ class FactorGSM:
 
     def __init__(self, D, lp, lp_g, mesh=None, data_axis: str = "data",
                  dtype=None, refresh_every: int = 1000,
-                 method: str = "eps"):
+                 method: str = "eps", use_pallas: "bool | str" = "auto",
+                 pallas_score=None):
         """``method``:
         - "eps" (default): eps-coordinate update (ops/gsm_eps.py) — the
           state is (mean, F) only; no maintained inverse, no QR, no eigh;
           the small solves are (2B x 2B) Choleskys.
         - "twophase": round-1 matmul-only rank-B update/downdate phases
           (maintains Finv).
-        - "qr": thin-QR orthogonal reduction (maintains Finv)."""
+        - "qr": thin-QR orthogonal reduction (maintains Finv).
+
+        ``use_pallas`` ("auto"/True/False) fuses the eps step into Pallas
+        kernels on TPU: with ``pallas_score`` (a ``(score_fn, params)`` pair,
+        e.g. ``target.pallas_score``) the ENTIRE iteration — on-chip PRNG,
+        sampling, score, rank-2B update, exact PD check, select — is one
+        kernel; otherwise sampling/score stay in XLA and the update+check+
+        select fuse (``gsm_eps_update_fused``).  NOTE the one-kernel path
+        uses the TPU hardware PRNG (Box-Muller), a different stream than
+        jax.random — same distribution, different trajectory.
+        """
         self.D = D
         self.lp = lp
         self.lp_g = lp_g
@@ -70,7 +83,21 @@ class FactorGSM:
         self.dtype = dtype or jnp.zeros(0).dtype
         self.refresh_every = refresh_every
         self.method = method
+        self.use_pallas = use_pallas
+        self.pallas_score = pallas_score
         self._runners = {}
+
+    def _pallas_mode(self, batch_size: int):
+        """None | "update" | "step" — which fused kernel this config uses."""
+        if self.method != "eps" or self.mesh is not None:
+            return None
+        if self.dtype != jnp.float32 or not on_tpu():
+            return None
+        if not fused_supported(batch_size, self.D):
+            return None
+        if self.use_pallas == "auto" or self.use_pallas is True:
+            return "step" if self.pallas_score is not None else "update"
+        return None
 
     def _get_runner(self, batch_size: int):
         if batch_size not in self._runners:
@@ -88,6 +115,47 @@ class FactorGSM:
             data_sharding(self.mesh, self.data_axis)
             if self.mesh is not None else None
         )
+        mode = self._pallas_mode(batch_size)
+
+        if mode == "step":
+            score_fn, params = self.pallas_score
+            fused = make_fused_eps_step(score_fn, len(params), batch_size, d)
+
+            def step(state: FactorVIState) -> FactorVIState:
+                # Per-step seed: fit-key data mixed with the step counter
+                # (Weyl increment) — deterministic given fit(key).
+                key = state.key
+                if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+                    kd = jax.random.key_data(key).ravel()
+                else:
+                    kd = key.ravel()
+                seed = kd[-1].astype(jnp.int32) ^ (
+                    state.step * jnp.int32(-1640531527))
+                mean, f, good = fused(seed, state.mean, state.factor, *params)
+                g32 = good.astype(jnp.int32)
+                return FactorVIState(mean, f, state.finv, key,
+                                     state.step + 1,
+                                     state.n_accepted + g32,
+                                     state.n_rejected + (1 - g32))
+
+            return step
+
+        if mode == "update":
+            def step(state: FactorVIState) -> FactorVIState:
+                with jax.default_matmul_precision("float32"):
+                    key, key_sample = jax.random.split(state.key)
+                    eps = jax.random.normal(key_sample, (batch_size, d), dtype)
+                    samples = state.mean + eps @ state.factor.T
+                    vs = lp_g(samples)
+                    mean, f, good = gsm_eps_update_fused(
+                        eps, vs, state.mean, state.factor)
+                    g32 = good.astype(jnp.int32)
+                    return FactorVIState(mean, f, state.finv, key,
+                                         state.step + 1,
+                                         state.n_accepted + g32,
+                                         state.n_rejected + (1 - g32))
+
+            return step
 
         def step(state: FactorVIState) -> FactorVIState:
             with jax.default_matmul_precision("float32"):

@@ -27,6 +27,10 @@ class Target:
     mean: Optional[jax.Array] = None      # true mean, if analytic
     cov: Optional[jax.Array] = None       # true covariance, if analytic
     sample: Optional[Callable] = None     # (key, n) -> (n, D) exact sampler
+    # Optional (score_fn, params) pair for the fully-fused Pallas step:
+    # score_fn(x, *params) -> (B, D) traced INSIDE the kernel (elementwise +
+    # matmul ops only); params are arrays passed to the kernel as VMEM inputs.
+    pallas_score: Optional[tuple] = None
 
     def ref_samples(self, key, n: int):
         if self.sample is None:

@@ -48,6 +48,11 @@ def _gaussian_target(mean, cov, name: str) -> Target:
     lp_g = jax.jit(lambda x: (mean - x) @ prec)
     t = Target(d=d, lp=lp, lp_g=lp_g, name=name, mean=mean, cov=cov)
     t.sample = lambda key, n: mvn_sample(key, mean, chol, n)
+    # Fully-fused Pallas step support: the analytic score is one in-kernel
+    # matmul (ops/pallas/fused_step.py:gaussian_score_kernel).
+    from ..ops.pallas.fused_step import gaussian_score_kernel
+
+    t.pallas_score = (gaussian_score_kernel, (mean.reshape(1, d), prec))
     return t
 
 

@@ -88,23 +88,26 @@ def _default_jitter(dtype) -> float:
     return 1e-12 if jnp.finfo(dtype).bits >= 64 else 1e-6
 
 
-def eps_core(zt, b: int, jitter=None):
-    """Small-space core: factor I + Z J Z^T from Z^T (2B, D) rows.
+def eps_core(zt, n_plus: int, jitter=None):
+    """Small-space core: factor I + Z J Z^T from Z^T (K, D) rows.
 
-    Returns (s2, good): the (2B, 2B) middle matrix of W = I + Z S2 Z^T with
-    W W^T = I + Z J Z^T, and ``good`` — the exact positive-definiteness flag
-    of I + Z J Z^T (equivalently of the proposed covariance).
+    ``J = diag(+1 x n_plus, -1 x (K - n_plus))`` — the first ``n_plus`` rows
+    of ``zt`` are update directions, the rest downdates.  Returns (s2, good):
+    the (K, K) middle matrix of W = I + Z S2 Z^T with W W^T = I + Z J Z^T,
+    and ``good`` — the exact positive-definiteness flag of I + Z J Z^T
+    (equivalently of the proposed covariance).
     """
     dtype = zt.dtype
     if jitter is None:
         jitter = _default_jitter(dtype)
-    g = jnp.matmul(zt, zt.T, preferred_element_type=dtype)  # (2B, 2B)
+    k2 = zt.shape[0]
+    g = jnp.matmul(zt, zt.T, preferred_element_type=dtype)  # (K, K)
     g = 0.5 * (g + g.T)
-    k2 = 2 * b
     eye = jnp.eye(k2, dtype=dtype)
     g = g + (jitter * (jnp.trace(g) / k2 + 1.0)) * eye
     lg = jnp.linalg.cholesky(g)
-    jj = jnp.concatenate([jnp.ones(b, dtype), -jnp.ones(b, dtype)])
+    jj = jnp.concatenate([jnp.ones(n_plus, dtype),
+                          -jnp.ones(k2 - n_plus, dtype)])
     jlg = lg * jj[:, None]                         # J Lg (row-scaled)
     k = eye + lg.T @ jlg                           # I + Lg^T J Lg
     k = 0.5 * (k + k.T)

@@ -1,0 +1,351 @@
+"""Fully-fused eps-coordinate GSM step as Pallas TPU kernels.
+
+The measured per-step regime on v5e is OP-COUNT-bound: ~8.6us fixed cost per
+XLA op inside a scan, with the D x D Cholesky of the dense path alone costing
+~44us at D=256 (XLA's chol is a panel-sequential While loop of many small
+ops).  These kernels collapse the *whole* reference iteration
+(``gsmvi/gsm.py:107-129``: sample -> score -> update -> validity -> revert)
+into one or two Pallas calls:
+
+- ``gsm_eps_update_fused``  — everything after the score: the eps-coordinate
+  rank-2B factor update of ops/gsm_eps.py (same math, bit-comparable), with
+  the two (2B x 2B) Cholesky factorizations, the triangular inverse, the
+  exact PD check, and the accept/revert select all inside the kernel.  A step
+  becomes: [eps op] -> [sample matmul] -> [user lp_g] -> [this kernel].
+- ``make_fused_eps_step``    — the whole step as ONE kernel for targets whose
+  score is Pallas-traceable (e.g. the analytic dense-Gaussian family):
+  on-chip PRNG (threefry-free: pltpu.prng_random_bits + Box-Muller) generates
+  eps, sampling/score/update/validity/select all stay in VMEM.  One HBM
+  round-trip per iteration, total.
+
+The small-space sequential work is 3 loops of 2B steps each (two Choleskys +
+one triangular inverse) over (2B x 2B) tiles — D-independent, unlike the
+dense path's D-step Cholesky.
+
+Numerics: f32 with explicit HIGHEST-precision matmuls (matching the pinned
+whole-step f32 policy of the jnp path).  The in-kernel PRNG stream differs
+from jax.random's threefry stream — fits agree in distribution, not in
+trajectory (same caveat as the reference's numpy-RNG break, SURVEY.md §7.1).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pltpu import fails on some non-TPU builds; gate it.
+    from jax.experimental.pallas import tpu as pltpu
+    _HAS_PLTPU = True
+except Exception:  # pragma: no cover
+    pltpu = None
+    _HAS_PLTPU = False
+
+_VMEM_LIMIT_BYTES = 14 * 1024 * 1024
+_HI = jax.lax.Precision.HIGHEST
+
+
+def fused_supported(b: int, d: int, itemsize: int = 4) -> bool:
+    """Gate: shapes the single-program kernel handles well.
+
+    2B x 2B small tiles want sublane alignment (B multiple of 4); the row
+    tensors and both D x D mats must fit VMEM alongside ~12 (B, D)-sized
+    intermediates.
+    """
+    if not _HAS_PLTPU:
+        return False
+    if b < 4 or b % 4 != 0:
+        return False
+    vmem = 3 * d * d * itemsize + 14 * b * d * itemsize \
+        + 8 * (2 * b) * (2 * b) * itemsize
+    return vmem < _VMEM_LIMIT_BYTES
+
+
+def _row_iota(k):
+    return jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
+
+
+def _col_iota(k):
+    return jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+
+
+def _cholt_inplace(w_ref, lt_ref, k: int):
+    """In-kernel Cholesky of the (k, k) SPD matrix in ``w_ref``, writing the
+    TRANSPOSED factor L^T (upper) into ``lt_ref``.  Destroys ``w_ref``.
+
+    Row-oriented on purpose: Mosaic only allows dynamic slicing on the
+    sublane (second-to-last) dimension, and since W is symmetric its j-th
+    column equals its j-th row — so the classic right-looking sweep runs
+    entirely on row slices.  Returns the minimum pivot; the matrix is PD iff
+    it is > 0 (the exact validity criterion)."""
+    cols = _col_iota(k)
+
+    def body(j, minpiv):
+        row = w_ref[pl.ds(j, 1), :]                        # (1, k) = col j of W
+        # Pivot via masked reduction (value-space dynamic_slice does not
+        # lower on TPU Pallas).
+        piv = jnp.sum(jnp.where(cols == j, row, 0.0))
+        minpiv = jnp.minimum(minpiv, piv)
+        inv = jax.lax.rsqrt(jnp.maximum(piv, 1e-30))
+        lrow = jnp.where(cols >= j, row * inv, 0.0)        # (1, k) = L[:,j]^T
+        lt_ref[pl.ds(j, 1), :] = lrow
+        w_ref[:] = w_ref[:] - jax.lax.dot_general(
+            lrow, lrow, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_HI)
+        return minpiv
+
+    return jax.lax.fori_loop(0, k, body, jnp.inf, unroll=False)
+
+
+def _triu_inv_inplace(lt_ref, m_ref, k: int):
+    """In-kernel inverse of the (k, k) upper-triangular ``lt_ref`` into
+    ``m_ref`` (also upper) via backward substitution, row slices only."""
+    cols = _col_iota(k)
+    m_ref[:] = jnp.zeros((k, k), jnp.float32)
+
+    def body(i, _):
+        j = k - 1 - i
+        ltrow = lt_ref[pl.ds(j, 1), :]                     # (1, k)
+        piv = jnp.sum(jnp.where(cols == j, ltrow, 0.0))
+        acc = jnp.dot(ltrow, m_ref[:], preferred_element_type=jnp.float32,
+                      precision=_HI)                       # (1, k)
+        ej = (cols == j).astype(jnp.float32)
+        m_ref[pl.ds(j, 1), :] = (ej - acc) / piv
+        return 0
+
+    jax.lax.fori_loop(0, k, body, 0, unroll=False)
+
+
+def _eps_update_core(e, v, mu, f, *, batch: int, jitter: float,
+                     w_scratch, l_scratch, n_scratch):
+    """Shared kernel body: eps-coordinate update math on VMEM values.
+
+    Returns (mu_new (1,D), f_new (D,D), good (bool scalar)).  Mirrors
+    ops/gsm_eps.py exactly (same formulas, HIGHEST matmul precision).
+    """
+    b = batch
+    k2 = 2 * b
+    d = f.shape[-1]
+
+    def mm(x, y):
+        return jnp.dot(x, y, preferred_element_type=jnp.float32, precision=_HI)
+
+    def mm_t(x, y):  # x @ y.T without explicit transpose
+        return jax.lax.dot_general(x, y, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32,
+                                   precision=_HI)
+
+    def t_mm(x, y):  # x.T @ y
+        return jax.lax.dot_general(x, y, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32,
+                                   precision=_HI)
+
+    a = -mm_t(e, f)                                        # (B, D) rows mu - x
+    vf = mm(v, f)
+    t = mm_t(vf, f)
+    vsv = jnp.sum(v * t, axis=1, keepdims=True)
+    mv = jnp.sum(a * v, axis=1, keepdims=True)
+    rho = 0.5 * (jnp.sqrt(1.0 + 4.0 * (vsv + mv * mv)) - 1.0)
+    eps0 = t - a
+    w = jnp.sum(v * eps0, axis=1, keepdims=True)
+    den = 1.0 + rho + mv
+    inv1r = 1.0 / (1.0 + rho)
+    dmu_b = (eps0 - a * (w / den)) * inv1r
+    dmu = jnp.sum(dmu_b, axis=0, keepdims=True) / b        # (1, D)
+    bm = a + dmu_b
+    gamma = 1.0 - (1.0 + w / den) * inv1r
+    c = -e * gamma + vf * inv1r
+    scale = 1.0 / jnp.sqrt(jnp.float32(b))
+    zt = jnp.concatenate([-e, c], axis=0) * scale          # (2B, D)
+    fzt = jnp.concatenate([a, bm], axis=0) * scale         # (2B, D)
+
+    # ---- small space: G -> Lg^T -> K -> Ck^T -> S2 ----------------------
+    # All factors live TRANSPOSED (upper) so the sequential sweeps only ever
+    # slice rows (Mosaic's dynamic-index constraint).
+    g = mm_t(zt, zt)                                       # (2B, 2B)
+    g = 0.5 * (g + g.T)
+    eye = jnp.eye(k2, dtype=jnp.float32)
+    tr = jnp.sum(g * eye)
+    w_scratch[:] = g + (jitter * (tr / k2 + 1.0)) * eye
+    _cholt_inplace(w_scratch, l_scratch, k2)               # Lg^T (G is PD)
+    lgt = l_scratch[:]
+    jj_row = jnp.where(_col_iota(k2) < b, 1.0, -1.0)       # (1, 2B)
+    # Lg^T J Lg = (Lg^T J) Lg = (lgt * jj_row) @ lgt^T
+    kmat = eye + mm_t(lgt * jj_row, lgt)
+    w_scratch[:] = 0.5 * (kmat + kmat.T)
+    _triu_inv_inplace(l_scratch, n_scratch, k2)            # M = Lg^{-T} (upper)
+    m_mat = n_scratch[:]
+    minpiv = _cholt_inplace(w_scratch, l_scratch, k2)      # Ck^T
+    good = minpiv > 0.0
+    ckt = l_scratch[:]
+    # S2 = Lg^{-T} (Ck - I) Lg^{-1} = M (Ck^T - I)^T M^T
+    x = mm_t(m_mat, ckt - eye)
+    s2 = mm_t(x, m_mat)
+    f_new = f + t_mm(fzt, mm(s2, zt))
+    return mu + dmu, f_new, good
+
+
+def _update_kernel(eps_ref, vs_ref, mu_ref, f_ref, mu_out, f_out, good_out,
+                   w_s, l_s, n_s, *, batch: int, jitter: float):
+    e = eps_ref[:]
+    v = vs_ref[:]
+    mu = mu_ref[:]
+    f = f_ref[:]
+    mu_new, f_new, good = _eps_update_core(
+        e, v, mu, f, batch=batch, jitter=jitter,
+        w_scratch=w_s, l_scratch=l_s, n_scratch=n_s)
+    mu_out[:] = jnp.where(good, mu_new, mu)
+    f_out[:] = jnp.where(good, f_new, f)
+    good_out[0, 0] = good.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("jitter", "interpret"))
+def gsm_eps_update_fused(eps, vs, mean, f, jitter: float = 1e-6,
+                         interpret: bool = False):
+    """Fused eps-coordinate GSM update + validity + select (one kernel).
+
+    Drop-in for ``ops.gsm_eps.apply_eps_step``: returns (mean, f, good) with
+    the old values already selected back on PD failure.  f32 only.
+    """
+    b, d = eps.shape
+    dtype = jnp.float32
+    eps = eps.astype(dtype)
+    vs = vs.astype(dtype)
+    mu2 = mean.astype(dtype).reshape(1, d)
+    f = f.astype(dtype)
+    k2 = 2 * b
+
+    kernel = functools.partial(_update_kernel, batch=b, jitter=jitter)
+    specs = dict(memory_space=pltpu.VMEM) if _HAS_PLTPU else {}
+    scratch = [
+        pltpu.VMEM((k2, k2), dtype) if _HAS_PLTPU
+        else pltpu_scratch_fallback((k2, k2), dtype)
+        for _ in range(3)
+    ]
+    mu_new, f_new, good = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((1, d), dtype),
+            jax.ShapeDtypeStruct((d, d), dtype),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        in_specs=[pl.BlockSpec(**specs)] * 4,
+        out_specs=(pl.BlockSpec(**specs), pl.BlockSpec(**specs),
+                   pl.BlockSpec(memory_space=pltpu.SMEM) if _HAS_PLTPU
+                   else pl.BlockSpec()),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(eps, vs, mu2, f)
+    return mu_new[0], f_new, good[0, 0] > 0
+
+
+def pltpu_scratch_fallback(shape, dtype):  # pragma: no cover
+    raise RuntimeError("pallas TPU scratch requires pltpu")
+
+
+# ---------------------------------------------------------------------------
+# Whole-step kernel: on-chip PRNG + sampling + fusable score + update.
+# ---------------------------------------------------------------------------
+
+def _uniform_from_bits(bits):
+    """uint32 random bits -> uniform(0, 1) f32 (never exactly 0)."""
+    return (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24)) \
+        + (0.5 / (1 << 24))
+
+
+def _boxmuller(shape):
+    """Standard-normal draws from the on-chip PRNG (seeded by caller)."""
+    u1 = _uniform_from_bits(pltpu.prng_random_bits(shape))
+    u2 = _uniform_from_bits(pltpu.prng_random_bits(shape))
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    return r * jnp.cos(2.0 * jnp.pi * u2)
+
+
+def make_fused_eps_step(score_fn, n_params: int, batch: int, d: int,
+                        jitter: float = 1e-6, external_eps: bool = False,
+                        interpret: bool = False):
+    """Build the ONE-kernel GSM step for a Pallas-traceable score.
+
+    ``score_fn(x, *params) -> (B, D)`` is traced into the kernel (element-wise
+    ops + matmuls only — the analytic target zoo qualifies); ``params`` are
+    passed as extra VMEM arrays.
+
+    Returns ``step(seed_or_eps, mean, f, *params) -> (mean, f, good)`` — one
+    Pallas call per iteration: PRNG -> sample -> score -> rank-2B factor
+    update -> exact PD check -> select, entirely in VMEM.
+
+    ``external_eps=False`` (TPU only): the first argument is an int32 seed
+    that must differ per iteration (the fitter mixes the fit key with the
+    step counter); eps comes from the on-chip PRNG via Box-Muller.
+    ``external_eps=True``: the first argument is the (B, D) standard-normal
+    draw itself — used for trajectory-exact comparisons against the jnp path
+    and for interpret-mode CI (prng_seed has no CPU lowering).
+    """
+    if not _HAS_PLTPU:
+        raise RuntimeError("fused whole-step kernel requires TPU pallas")
+    k2 = 2 * batch
+
+    def kernel(first_ref, mu_ref, f_ref, *rest):
+        params_refs = rest[:n_params]
+        mu_out, f_out, good_out = rest[n_params:n_params + 3]
+        w_s, l_s, n_s = rest[n_params + 3:]
+        if external_eps:
+            e = first_ref[:]
+        else:
+            pltpu.prng_seed(first_ref[0])
+            e = _boxmuller((batch, d))
+        mu = mu_ref[:]
+        f = f_ref[:]
+        x = mu + jax.lax.dot_general(e, f, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32,
+                                     precision=_HI)
+        v = score_fn(x, *[p[:] for p in params_refs])
+        mu_new, f_new, good = _eps_update_core(
+            e, v, mu, f, batch=batch, jitter=jitter,
+            w_scratch=w_s, l_scratch=l_s, n_scratch=n_s)
+        mu_out[:] = jnp.where(good, mu_new, mu)
+        f_out[:] = jnp.where(good, f_new, f)
+        good_out[0, 0] = good.astype(jnp.int32)
+
+    first_spec = (pl.BlockSpec(memory_space=pltpu.VMEM) if external_eps
+                  else pl.BlockSpec(memory_space=pltpu.SMEM))
+
+    @jax.jit
+    def step(first, mean, f, *params):
+        mu2 = mean.astype(jnp.float32).reshape(1, d)
+        if external_eps:
+            first = first.astype(jnp.float32)
+        else:
+            first = jnp.asarray(first, jnp.int32).reshape(1)
+        mu_new, f_new, good = pl.pallas_call(
+            kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((1, d), jnp.float32),
+                jax.ShapeDtypeStruct((d, d), jnp.float32),
+                jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            ),
+            in_specs=[first_spec]
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 + n_params),
+            out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                       pl.BlockSpec(memory_space=pltpu.VMEM),
+                       pl.BlockSpec(memory_space=pltpu.SMEM)),
+            scratch_shapes=[pltpu.VMEM((k2, k2), jnp.float32)
+                            for _ in range(3)],
+            interpret=interpret,
+        )(first, mu2, f.astype(jnp.float32),
+          *[p.astype(jnp.float32) for p in params])
+        return mu_new[0], f_new, good[0, 0] > 0
+
+    return step
+
+
+def gaussian_score_kernel(x, mu_t, prec):
+    """In-kernel analytic dense-Gaussian score: v = (mu_t - x) @ prec.
+
+    Matches models/gaussian.py's analytic-precision score; ``mu_t`` is
+    (1, D), ``prec`` (D, D) symmetric.
+    """
+    return jnp.dot(mu_t - x, prec, preferred_element_type=jnp.float32,
+                   precision=_HI)

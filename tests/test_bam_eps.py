@@ -1,0 +1,115 @@
+"""Factor-coordinate BaM (ops/bam_eps.py + bam_factor.py).
+
+The factor route must reproduce the dense BaM update exactly: for S0 = F F^T
+and samples x = mu + eps F^T, the proposed F' must satisfy F' F'^T = S' where
+S' is ops/bam.py's full-rank result (itself pinned to the reference kernel in
+tests/test_reference_parity.py).  Full-rank and low-rank coincide because U
+is exactly rank B+1.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gsmvi_tpu.bam_factor import FactorBaM
+from gsmvi_tpu.ops.bam import Regularizers, bam_update
+from gsmvi_tpu.ops.bam_eps import bam_eps_update
+
+
+@pytest.mark.parametrize("b,d,reg", [(2, 5, 100.0), (8, 16, 0.5),
+                                     (32, 64, 5.0), (32, 256, 1.0)])
+def test_matches_dense_bam_f64(rng, b, d, reg):
+    f = 0.3 * rng.normal(size=(d, d)) + np.eye(d)
+    mu = rng.normal(size=d)
+    eps = rng.normal(size=(b, d))
+    x = mu + eps @ f.T
+    v = 0.3 * rng.normal(size=(b, d))
+    s0 = f @ f.T
+
+    m_full, s_full = bam_update(jnp.asarray(x), jnp.asarray(v),
+                                jnp.asarray(mu), jnp.asarray(s0), reg,
+                                jitter=0.0)
+    m_e, f_e, good = bam_eps_update(jnp.asarray(eps), jnp.asarray(v),
+                                    jnp.asarray(mu), jnp.asarray(f), reg,
+                                    jitter=1e-13)
+    assert bool(good)
+    scale = max(1.0, float(np.abs(np.asarray(s_full)).max()))
+    np.testing.assert_allclose(np.asarray(m_e), np.asarray(m_full),
+                               atol=1e-9 * scale)
+    np.testing.assert_allclose(np.asarray(f_e @ f_e.T), np.asarray(s_full),
+                               atol=1e-9 * scale)
+
+
+def test_f32_accuracy(rng):
+    b, d, reg = 32, 128, 2.0
+    f = (0.3 * rng.normal(size=(d, d)) + np.eye(d)).astype(np.float32)
+    mu = rng.normal(size=d).astype(np.float32)
+    eps = rng.normal(size=(b, d)).astype(np.float32)
+    x = mu + eps @ f.T
+    v = (0.2 * rng.normal(size=(b, d))).astype(np.float32)
+    s0 = f @ f.T
+    m_full, s_full = bam_update(jnp.asarray(x), jnp.asarray(v),
+                                jnp.asarray(mu), jnp.asarray(s0),
+                                np.float32(reg), jitter=0.0)
+    m_e, f_e, good = bam_eps_update(jnp.asarray(eps), jnp.asarray(v),
+                                    jnp.asarray(mu), jnp.asarray(f),
+                                    np.float32(reg))
+    assert bool(good)
+    scale = max(1.0, float(np.abs(np.asarray(s_full)).max()))
+    np.testing.assert_allclose(np.asarray(f_e @ f_e.T), np.asarray(s_full),
+                               atol=5e-4 * scale)
+
+
+def test_fitter_end_to_end_recovery():
+    from gsmvi_tpu.models import dense_gaussian
+
+    t = dense_gaussian(jax.random.PRNGKey(3), 16)
+    bam = FactorBaM(D=t.d, lp=t.lp, lp_g=t.lp_g)
+    state = bam.fit(jax.random.PRNGKey(0), regf=Regularizers().linear(100.0),
+                    niter=400, batch_size=16, verbose=False,
+                    return_state=True)
+    np.testing.assert_allclose(np.asarray(state.mean), np.asarray(t.mean),
+                               atol=0.05)
+    np.testing.assert_allclose(np.asarray(state.cov), np.asarray(t.cov),
+                               atol=0.1)
+
+
+def test_fitter_matches_dense_bam_trajectory():
+    """With cov=I the first factor equals chol(I); identical eps streams mean
+    the FIRST step must agree with dense BaM exactly; later steps use
+    different square roots and agree only in distribution."""
+    from gsmvi_tpu import BaM
+    from gsmvi_tpu.models import dense_gaussian
+
+    t = dense_gaussian(jax.random.PRNGKey(3), 8)
+    kw = dict(niter=0, batch_size=4, verbose=False, retries=0)
+    m1, c1 = BaM(D=t.d, lp=t.lp, lp_g=t.lp_g).fit(
+        jax.random.PRNGKey(5), regf=Regularizers().constant(10.0),
+        jitter=0.0, **kw)
+    m2, c2 = FactorBaM(D=t.d, lp=t.lp, lp_g=t.lp_g).fit(
+        jax.random.PRNGKey(5), regf=Regularizers().constant(10.0),
+        jitter=1e-13, **kw)
+    np.testing.assert_allclose(np.asarray(m2), np.asarray(m1), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(c2), np.asarray(c1), atol=1e-8)
+
+
+def test_retries_and_monitoring():
+    from gsmvi_tpu.models import dense_gaussian
+    from gsmvi_tpu.utils.monitors import KLMonitor
+
+    t = dense_gaussian(jax.random.PRNGKey(3), 8)
+    mon = KLMonitor(batch_size_kl=16, checkpoint=20)
+    bam = FactorBaM(D=t.d, lp=t.lp, lp_g=t.lp_g)
+    bam.fit(jax.random.PRNGKey(0), regf=Regularizers().linear(50.0),
+            niter=100, batch_size=8, verbose=False, monitor=mon, retries=5)
+    assert len(mon.rkl) == 7
+    assert np.isfinite(mon.rkl).all()
+    assert mon.rkl[-1] < mon.rkl[0]
+
+
+def test_rejects_numpy_lp_g():
+    bam = FactorBaM(D=4, lp=lambda x: np.sum(x), lp_g=lambda x: np.asarray(x))
+    with pytest.raises(TypeError):
+        bam.fit(jax.random.PRNGKey(0), regf=Regularizers().constant(1.0),
+                niter=2, verbose=False)
