@@ -1,136 +1,223 @@
-"""Benchmark: TPU-native GSM fit throughput vs a reference-structured loop.
+"""Benchmark: TPU-native fit throughput across the full fitter x D matrix.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "matrix": {...}}
+
+The primary metric is GSM iters/s at D=256, B=32 (the BASELINE.json
+north-star axis), measured on the fastest GSM path this build ships.  The
+``matrix`` field carries the whole evidence grid the round-1 review asked
+for: {gsm, gsm_fused, factor_gsm, bam, bam_lowrank, factor_bam, advi} x
+D in {64, 256, 1024} with iters/s, score-evals/s/chip and final moment
+errors, plus the ill-conditioned D=512 target.
 
 The baseline is the reference's *structure* re-staged faithfully on this
-machine (per SURVEY.md §6 the reference publishes no numbers, so the measurable
-baseline is its own loop architecture): per-iteration Python dispatch of a
-jitted update, host-side ``np.random.multivariate_normal`` sampling, and a
-host ``np.linalg.cholesky`` goodness check every iteration
-(``gsmvi/gsm.py:107-129``).  The candidate is this framework's compiled-scan
-fit with on-device sampling (identical math, identical per-iteration work).
+machine (per SURVEY.md §6 the reference publishes no numbers): per-iteration
+Python dispatch of a jitted update, host-side ``np.random.multivariate_
+normal`` sampling, and a host ``np.linalg.cholesky`` goodness check per
+iteration (``gsmvi/gsm.py:107-129``), timed as a median of 3 runs so the
+ratio is a stable regression signal.
 
-Config: the BASELINE.json north-star axis "iters/s at D=64-1024" — measured at
-D=256, batch 32.  Baseline iteration count is scaled down and extrapolated to
-keep total bench time bounded.
+Compile-time strategy: a persistent compilation cache under .jax_cache/
+(remote-tunnel compiles are minutes-slow and high-variance; cached reruns
+are seconds).  A wall-clock budget skips remaining matrix cells gracefully
+if the cache is cold, so the primary metric always lands.
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
-D = 256
-BATCH = 32
-NITER_OURS = 2000
+B = 32
+PRIMARY_D = 256
+NITER = {64: 3000, 256: 2000, 512: 1000, 1024: 400}
 NITER_BASE = 150
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "2700"))
+SMOKE = bool(os.environ.get("BENCH_SMOKE"))
+_T0 = time.time()
 
 
-def time_ours(t):
+def _remaining():
+    return BUDGET_S - (time.time() - _T0)
+
+
+def _setup_cache():
     import jax
-    from gsmvi_tpu import GSM
 
-    # use_pallas=False: at this config the fused kernel is within noise of
-    # the XLA path (~14k it/s both) and the XLA HLO compiles much faster on
-    # a cold remote-compile cache, keeping bench wall time predictable.
-    gsm = GSM(D=D, lp=t.lp, lp_g=t.lp_g, use_pallas=False)
+    os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache"), exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
-    def run(niter):
-        return gsm.fit(jax.random.PRNGKey(0), niter=niter, batch_size=BATCH,
-                       verbose=False)
 
-    # Warm up with the same shape: the fitter caches its compiled chunk
-    # runner, so the timed fit below is pure steady-state execution.
-    m, c = run(NITER_OURS)
-    jax.block_until_ready((m, c))
+def _targets():
+    import jax
+
+    from gsmvi_tpu.models import dense_gaussian, ill_conditioned_gaussian
+
+    ds = [64, 256] if SMOKE else [64, 256, 1024]
+    t = {d: dense_gaussian(jax.random.PRNGKey(3), d) for d in ds}
+    if not SMOKE:
+        t["ill512"] = ill_conditioned_gaussian(jax.random.PRNGKey(5), 512,
+                                               1e4)
+    return t
+
+
+def _errs(mean, cov, target):
+    m = float(np.max(np.abs(np.asarray(mean) - np.asarray(target.mean))))
+    scale = max(1.0, float(np.abs(np.asarray(target.cov)).max()))
+    c = float(np.max(np.abs(np.asarray(cov) - np.asarray(target.cov)))) / scale
+    return round(m, 5), round(c, 5)
+
+
+def _time_fit(run, niter, target):
+    """(iters/s, mean_err, cov_err): warmup compiles + caches the runner;
+    the timed call is pure steady-state execution of the same program."""
+    import jax
+
+    mean, cov = run(niter)
+    jax.block_until_ready((mean, cov))
     t0 = time.perf_counter()
-    m, c = run(NITER_OURS)
-    jax.block_until_ready((m, c))
+    mean, cov = run(niter)
+    jax.block_until_ready((mean, cov))
     dt = time.perf_counter() - t0
-    return (NITER_OURS + 1) / dt, np.asarray(m)
+    em, ec = _errs(mean, cov, target)
+    return (niter + 1) / dt, em, ec
+
+
+def bench_matrix(targets):
+    import jax
+
+    from gsmvi_tpu import (ADVI, BaM, FactorBaM, FactorGSM, GSM, Regularizers)
+
+    results = {}
+
+    def add(name, d, maker):
+        if _remaining() < 120:
+            results.setdefault(name, {})[str(d)] = None
+            return
+        t = targets[d] if d in targets else targets["ill512"]
+        niter = NITER[t.d] if not SMOKE else 50
+        try:
+            ips, em, ec = _time_fit(maker(t), niter, t)
+            results.setdefault(name, {})[str(d)] = {
+                "iters_per_s": round(ips, 1),
+                "score_evals_per_s": round(ips * B, 1),
+                "mean_err": em, "cov_err": ec,
+            }
+        except Exception as e:  # record the failure, keep benching
+            results.setdefault(name, {})[str(d)] = {"error": str(e)[:200]}
+
+    def gsm_run(t, **kw):
+        g = GSM(D=t.d, lp=t.lp, lp_g=t.lp_g, **kw)
+        return lambda n: g.fit(jax.random.PRNGKey(0), niter=n, batch_size=B,
+                               verbose=False)
+
+    def fgsm_run(t, **kw):
+        g = FactorGSM(D=t.d, lp=t.lp, lp_g=t.lp_g, **kw)
+        return lambda n: g.fit(jax.random.PRNGKey(0), niter=n, batch_size=B,
+                               verbose=False)
+
+    def bam_run(t, **kw):
+        g = BaM(D=t.d, lp=t.lp, lp_g=t.lp_g, **kw)
+        return lambda n: g.fit(jax.random.PRNGKey(0),
+                               regf=Regularizers().linear(100.0), niter=n,
+                               batch_size=B, verbose=False, retries=0)
+
+    def fbam_run(t):
+        g = FactorBaM(D=t.d, lp=t.lp, lp_g=t.lp_g)
+        return lambda n: g.fit(jax.random.PRNGKey(0),
+                               regf=Regularizers().linear(100.0), niter=n,
+                               batch_size=B, verbose=False, retries=0)
+
+    def advi_run(t):
+        import optax
+
+        g = ADVI(D=t.d, lp=t.lp)
+        return lambda n: g.fit(jax.random.PRNGKey(0), optax.adam(1e-2),
+                               niter=n, batch_size=B, verbose=False)[:2]
+
+    ds = [64, 256] if SMOKE else [64, 256, 1024]
+    for d in ds:
+        add("gsm", d, lambda t: gsm_run(t, use_pallas=False))
+        add("gsm_fused", d,
+            lambda t: fgsm_run(t, pallas_score=t.pallas_score))
+        add("factor_gsm", d, lambda t: fgsm_run(t, use_pallas=False))
+        add("bam", d, lambda t: bam_run(t))
+        add("bam_lowrank", d, lambda t: bam_run(t, use_lowrank=True))
+        add("factor_bam", d, lambda t: fbam_run(t))
+        add("advi", d, lambda t: advi_run(t))
+    if not SMOKE:
+        add("gsm", 512, lambda t: gsm_run(t, use_pallas=False))
+        add("gsm_fused", 512,
+            lambda t: fgsm_run(t, pallas_score=t.pallas_score))
+    return results
 
 
 def time_reference_structure(t):
-    """Reference loop shape: host sampling + per-iter dispatch + host check."""
+    """Reference loop shape: host sampling + per-iter dispatch + host check;
+    median of 3 runs (the single-shot timing was load-noisy, VERDICT #7)."""
     import jax
+
     from gsmvi_tpu.ops.gsm import gsm_update
 
-    mean = np.zeros(D)
-    cov = np.eye(D)
-    key = jax.random.PRNGKey(0)
-
-    # warm the update kernel
-    s = np.random.default_rng(0).normal(size=(BATCH, D))
-    jax.block_until_ready(gsm_update(s, np.asarray(t.lp_g(s)), mean, cov))
-
-    t0 = time.perf_counter()
-    for i in range(NITER_BASE + 1):
-        key, key_sample = jax.random.split(key)
-        np.random.seed(int(jax.random.randint(key_sample, (), 0, 2**31 - 1)))
-        samples = np.random.multivariate_normal(mean=mean, cov=cov, size=BATCH)
-        vs = t.lp_g(samples)
-        mean_new, cov_new = gsm_update(samples, vs, mean, cov)
-        mean_new, cov_new = np.asarray(mean_new), np.asarray(cov_new)
-        try:
-            good = not np.isnan(np.linalg.cholesky(cov_new)).any()
-        except Exception:
-            good = False
-        if good:
-            mean, cov = mean_new, cov_new
-    dt = time.perf_counter() - t0
-    return (NITER_BASE + 1) / dt, mean
-
-
-def extended_sweep():
-    """Optional D-sweep (BENCH_FULL=1): score-evals/s per chip at several D.
-
-    Extra results go to stderr so stdout stays a single JSON line.
-    """
-    import sys
-    import jax
-    from gsmvi_tpu import GSM
-    from gsmvi_tpu.models import dense_gaussian
-
-    for d, b, niter in [(64, 32, 2000), (512, 64, 500)]:
-        t = dense_gaussian(jax.random.PRNGKey(3), d)
-        gsm = GSM(D=d, lp=t.lp, lp_g=t.lp_g)
-
-        def run(n):
-            return gsm.fit(jax.random.PRNGKey(0), niter=n, batch_size=b,
-                           verbose=False)
-
-        jax.block_until_ready(run(2))
+    d = t.d
+    rates = []
+    s = np.random.default_rng(0).normal(size=(B, d))
+    jax.block_until_ready(
+        gsm_update(s, np.asarray(t.lp_g(s)), np.zeros(d), np.eye(d)))
+    nbase = 20 if SMOKE else NITER_BASE
+    for rep in range(3):
+        mean = np.zeros(d)
+        cov = np.eye(d)
+        key = jax.random.PRNGKey(0)
         t0 = time.perf_counter()
-        jax.block_until_ready(run(niter))
-        dt = time.perf_counter() - t0
-        print(json.dumps({
-            "metric": f"gsm_score_evals_per_s_d{d}_b{b}",
-            "value": round((niter + 1) * b / dt, 1),
-            "unit": "score-evals/s/chip",
-        }), file=sys.stderr, flush=True)
+        for i in range(nbase + 1):
+            key, key_sample = jax.random.split(key)
+            np.random.seed(int(jax.random.randint(key_sample, (), 0,
+                                                  2**31 - 1)))
+            samples = np.random.multivariate_normal(mean=mean, cov=cov,
+                                                    size=B)
+            vs = t.lp_g(samples)
+            mean_new, cov_new = gsm_update(samples, vs, mean, cov)
+            mean_new, cov_new = np.asarray(mean_new), np.asarray(cov_new)
+            try:
+                good = not np.isnan(np.linalg.cholesky(cov_new)).any()
+            except Exception:
+                good = False
+            if good:
+                mean, cov = mean_new, cov_new
+        rates.append((nbase + 1) / (time.perf_counter() - t0))
+    return float(np.median(rates))
 
 
 def main():
-    import os
+    _setup_cache()
+    targets = _targets()
 
-    import jax
-    from gsmvi_tpu.models import dense_gaussian
+    matrix = bench_matrix(targets)
+    base_ips = time_reference_structure(targets[PRIMARY_D])
 
-    t = dense_gaussian(jax.random.PRNGKey(3), D)
-    ours_ips, mean_ours = time_ours(t)
-    base_ips, mean_base = time_reference_structure(t)
+    # Primary metric: best GSM-family path at D=256.
+    candidates = []
+    for name in ("gsm_fused", "gsm", "factor_gsm"):
+        cell = matrix.get(name, {}).get(str(PRIMARY_D))
+        if cell and "iters_per_s" in cell and cell["cov_err"] < 0.05:
+            candidates.append((cell["iters_per_s"], name))
+    best_ips, best_name = max(candidates) if candidates else (0.0, "none")
 
-    # sanity: both recover the target mean direction (not asserted hard here;
-    # correctness is covered by tests/)
     print(json.dumps({
-        "metric": f"gsm_iters_per_s_d{D}_b{BATCH}",
-        "value": round(ours_ips, 2),
+        "metric": f"gsm_iters_per_s_d{PRIMARY_D}_b{B}",
+        "value": round(best_ips, 2),
         "unit": "iters/s",
-        "vs_baseline": round(ours_ips / base_ips, 2),
+        "vs_baseline": round(best_ips / base_ips, 2) if base_ips else None,
+        "path": best_name,
+        "baseline_iters_per_s": round(base_ips, 2),
+        "matrix": matrix,
     }))
-    if os.environ.get("BENCH_FULL"):
-        extended_sweep()
 
 
 if __name__ == "__main__":
