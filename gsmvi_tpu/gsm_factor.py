@@ -27,6 +27,7 @@ from .ops.gsm_eps import apply_eps_step
 from .ops.gsm_factor import (factor_gsm_step_stats, factor_gsm_step_stats_v2,
                              factor_refresh, factor_to_cov)
 from .ops.pallas.fused_step import (fused_supported, gsm_eps_update_fused,
+                                    make_fused_eps_multistep,
                                     make_fused_eps_step)
 from .parallel.mesh import data_sharding
 
@@ -57,7 +58,7 @@ class FactorGSM:
     def __init__(self, D, lp, lp_g, mesh=None, data_axis: str = "data",
                  dtype=None, refresh_every: int = 1000,
                  method: str = "eps", use_pallas: "bool | str" = "auto",
-                 pallas_score=None):
+                 pallas_score=None, steps_per_call: int = 16):
         """``method``:
         - "eps" (default): eps-coordinate update (ops/gsm_eps.py) — the
           state is (mean, F) only; no maintained inverse, no QR, no eigh;
@@ -85,6 +86,11 @@ class FactorGSM:
         self.method = method
         self.use_pallas = use_pallas
         self.pallas_score = pallas_score
+        # Sub-steps looped INSIDE one kernel invocation on the fully-fused
+        # path: kernel dispatch costs ~25us on v5e (measured with an empty
+        # kernel), so amortizing it across steps_per_call iterations is the
+        # single largest throughput lever.
+        self.steps_per_call = steps_per_call
         self._runners = {}
 
     def _pallas_mode(self, batch_size: int):
@@ -101,9 +107,50 @@ class FactorGSM:
 
     def _get_runner(self, batch_size: int):
         if batch_size not in self._runners:
-            self._runners[batch_size] = make_chunk_runner(
-                self._make_step(batch_size))
+            if (self._pallas_mode(batch_size) == "step"
+                    and self.steps_per_call > 1):
+                self._runners[batch_size] = self._make_fused_runner(batch_size)
+            else:
+                self._runners[batch_size] = make_chunk_runner(
+                    self._make_step(batch_size))
         return self._runners[batch_size]
+
+    def _make_fused_runner(self, batch_size: int):
+        """Chunk runner on the multi-step kernel: dispatch amortized over
+        ``steps_per_call`` in-kernel iterations; the remainder of each chunk
+        runs on the single-step fused path (identical per-step seeds)."""
+        from functools import partial
+
+        score_fn, params = self.pallas_score
+        spc = self.steps_per_call
+        multi = make_fused_eps_multistep(score_fn, len(params), batch_size,
+                                         self.D, spc)
+        single_step = self._make_step(batch_size)
+
+        @partial(jax.jit, static_argnums=1)
+        def run_chunk(state, k):
+            key = state.key
+            if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+                kdv = jax.random.key_data(key).ravel()
+            else:
+                kdv = key.ravel()
+            kdv = kdv[-1].astype(jnp.int32)
+            n_multi, rem = divmod(k, spc)
+            if n_multi:
+                def body(s, _):
+                    mu, f, nacc = multi(kdv, s.step, s.mean, s.factor,
+                                        *params)
+                    return FactorVIState(
+                        mu, f, s.finv, s.key, s.step + spc,
+                        s.n_accepted + nacc,
+                        s.n_rejected + (spc - nacc)), None
+
+                state = jax.lax.scan(body, state, None, length=n_multi)[0]
+            for _ in range(rem):
+                state = single_step(state)
+            return state
+
+        return run_chunk
 
     def _make_step(self, batch_size: int):
         lp_g = self.lp_g

@@ -58,7 +58,10 @@ def fused_supported(b: int, d: int, itemsize: int = 4) -> bool:
         return False
     if b < 4 or b % 4 != 0:
         return False
-    vmem = 3 * d * d * itemsize + 14 * b * d * itemsize \
+    # 6x D^2: f in/out + the multi-step fori_loop's carry double-buffering
+    # (measured: D=1024 needs ~22M scoped VMEM against a 16M limit, so it
+    # must fall back to the jnp eps path).
+    vmem = 6 * d * d * itemsize + 16 * b * d * itemsize \
         + 8 * (2 * b) * (2 * b) * itemsize
     return vmem < _VMEM_LIMIT_BYTES
 
@@ -118,8 +121,121 @@ def _triu_inv_inplace(lt_ref, m_ref, k: int):
     jax.lax.fori_loop(0, k, body, 0, unroll=False)
 
 
-def _eps_update_core(e, v, mu, f, *, batch: int, jitter: float,
-                     w_scratch, l_scratch, n_scratch):
+def _ns_sqrt(a, iters: int):
+    """Newton-Schulz SPD square root on a small VMEM value (matmul-only,
+    statically unrolled — no loop machinery, the in-kernel fast path)."""
+    n = a.shape[-1]
+    eye = jnp.eye(n, dtype=jnp.float32)
+    nrm = jnp.sqrt(jnp.sum(a * a)) + 1e-30
+    y = a / nrm
+    z = eye
+    for _ in range(iters):
+        t = 0.5 * (3.0 * eye - jnp.dot(z, y, preferred_element_type=jnp.float32,
+                                       precision=_HI))
+        y = jnp.dot(y, t, preferred_element_type=jnp.float32, precision=_HI)
+        z = jnp.dot(t, z, preferred_element_type=jnp.float32, precision=_HI)
+    return y * jnp.sqrt(nrm)
+
+
+def _newton_inv(a, iters: int):
+    """Newton-Hotelling inverse of a small SPD value (matmul-only).
+
+    X0 = I/||A||_F gives ||I - A X0|| < 1 for SPD A, so the iteration
+    X <- X(2I - A X) always converges; ~log2(cond)+5 iterations suffice."""
+    n = a.shape[-1]
+    eye = jnp.eye(n, dtype=jnp.float32)
+    x = eye * (1.0 / (jnp.sqrt(jnp.sum(a * a)) + 1e-30))
+    for _ in range(iters):
+        x = jnp.dot(x, 2.0 * eye - jnp.dot(a, x,
+                                           preferred_element_type=jnp.float32,
+                                           precision=_HI),
+                    preferred_element_type=jnp.float32, precision=_HI)
+    return x
+
+
+def _eps_smallspace_ns(e, v, vf, mu, f, *, batch: int, tol: float = 3e-3,
+                       iters=(8, 6, 8, 10, 6), skip_small: bool = False):
+    """Loop-free small-space core: two-phase (PSD update then PSD downdate)
+    factorization of M = I + (eps^T eps - C^T C)/B with matmul-only
+    Newton-Schulz/Newton-Hotelling small solves.
+
+    Returns (mu_new, f_new, good).  ``good`` combines the PD criterion
+    (I - Gv > 0, detected by the NS residual — NS cannot converge on an
+    indefinite input) with accuracy gates on both phase residuals, so a
+    numerically-lost step rejects rather than corrupting the factor.
+    All functions here are scalar functions of the two small Grams:
+        cu  = (I + S1)^{-1},        S1 = sqrt(I + Gu)
+        cui = (I + S1 + Gu)^{-1}                       (= W1^{-1} coefficient)
+        cv  = -(I + S2)^{-1},       S2 = sqrt(I - Gv)
+    """
+    b = batch
+
+    def mm(x, y):
+        return jnp.dot(x, y, preferred_element_type=jnp.float32, precision=_HI)
+
+    def mm_t(x, y):
+        return jax.lax.dot_general(x, y, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32,
+                                   precision=_HI)
+
+    def t_mm(x, y):
+        return jax.lax.dot_general(x, y, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32,
+                                   precision=_HI)
+
+    a = -mm_t(e, f)                                        # (B, D) rows mu - x
+    t = mm_t(vf, f)
+    vsv = jnp.sum(v * t, axis=1, keepdims=True)
+    mv = jnp.sum(a * v, axis=1, keepdims=True)
+    rho = 0.5 * (jnp.sqrt(1.0 + 4.0 * (vsv + mv * mv)) - 1.0)
+    eps0 = t - a
+    w = jnp.sum(v * eps0, axis=1, keepdims=True)
+    den = 1.0 + rho + mv
+    inv1r = 1.0 / (1.0 + rho)
+    dmu_b = (eps0 - a * (w / den)) * inv1r
+    dmu = jnp.sum(dmu_b, axis=0, keepdims=True) / b        # (1, D)
+    gamma = 1.0 - (1.0 + w / den) * inv1r
+    c = -e * gamma + vf * inv1r                            # (B, D) downdate rows
+    scale2 = 1.0 / b
+    eye_b = jnp.eye(b, dtype=jnp.float32)
+
+    if skip_small:  # timing probes only: phase structure without small math
+        return mu + dmu, f + 0.0 * mm_t(c, c)[:1, :1].sum() * f, \
+            jnp.bool_(True)
+
+    # Phase 1: W1 = I + Zu cu Zu^T factors I + Zu Zu^T, Zu = eps^T/sqrt(B).
+    gu = mm_t(e, e) * scale2                               # (B, B)
+    gu = 0.5 * (gu + gu.T)
+    s1 = _ns_sqrt(eye_b + gu, iters[0])
+    s1 = 0.5 * (s1 + s1.T)
+    res1 = jnp.sum((mm(s1, s1) - (eye_b + gu)) ** 2) \
+        / (jnp.sum((eye_b + gu) ** 2) + 1e-30)
+    cu = _newton_inv(eye_b + s1, iters[1])
+    cui = _newton_inv(eye_b + s1 + gu, iters[2])
+
+    # Xi~ = W1^{-1} Zc with Zc = C^T/sqrt(B) and W1^{-1} = I - Zu cui Zu^T.
+    # Carried as its transpose on row tensors:
+    #   Xi~^T = [C - (cui @ (Zu^T Zc scaled)) applied through eps] / sqrt(B).
+    ec = mm_t(e, c) * scale2                               # B Zu^T Zc (B, B)
+    zc_scale = 1.0 / jnp.sqrt(jnp.float32(b))
+    xim_t = (c - t_mm(mm(cui, ec), e)) * zc_scale          # (B, D)
+
+    # Phase 2: downdate by Xi~ Xi~^T.
+    gv = mm_t(xim_t, xim_t)                                # (B, B)
+    gv = 0.5 * (gv + gv.T)
+    i_gv = eye_b - gv
+    s2 = _ns_sqrt(i_gv, iters[3])
+    s2 = 0.5 * (s2 + s2.T)
+    res2 = jnp.sum((mm(s2, s2) - i_gv) ** 2) / (jnp.sum(i_gv ** 2) + 1e-30)
+    cv = -_newton_inv(eye_b + s2, iters[4])
+    good = (res1 < tol) & (res2 < tol)
+
+    # F' = F W1 W2 = (F + (F Zu)(cu Zu^T)) (I + Xi~ cv Xi~^T)
+    fzu_t = a * (-zc_scale)                                # (B, D) = (F Zu)^T
+    fw1 = f + t_mm(fzu_t, mm(cu, e) * zc_scale)            # F + F Zu cu Zu^T
+    fw1xi_t = mm_t(xim_t, fw1)                             # (B, D) = (Fw1 Xi~)^T
+    f_new = fw1 + t_mm(fw1xi_t, mm(cv, xim_t))
+    return mu + dmu, f_new, good
     """Shared kernel body: eps-coordinate update math on VMEM values.
 
     Returns (mu_new (1,D), f_new (D,D), good (bool scalar)).  Mirrors
@@ -201,13 +317,32 @@ def _update_kernel(eps_ref, vs_ref, mu_ref, f_ref, mu_out, f_out, good_out,
     good_out[0, 0] = good.astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("jitter", "interpret"))
+def _update_kernel_ns(eps_ref, vs_ref, mu_ref, f_ref, mu_out, f_out,
+                      good_out, *, batch: int):
+    e = eps_ref[:]
+    v = vs_ref[:]
+    mu = mu_ref[:]
+    f = f_ref[:]
+    vf = jnp.dot(v, f, preferred_element_type=jnp.float32, precision=_HI)
+    mu_new, f_new, good = _eps_smallspace_ns(e, v, vf, mu, f, batch=batch)
+    mu_out[:] = jnp.where(good, mu_new, mu)
+    f_out[:] = jnp.where(good, f_new, f)
+    good_out[0, 0] = good.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("jitter", "interpret", "method"))
 def gsm_eps_update_fused(eps, vs, mean, f, jitter: float = 1e-6,
-                         interpret: bool = False):
+                         interpret: bool = False, method: str = "ns"):
     """Fused eps-coordinate GSM update + validity + select (one kernel).
 
     Drop-in for ``ops.gsm_eps.apply_eps_step``: returns (mean, f, good) with
     the old values already selected back on PD failure.  f32 only.
+
+    ``method``:
+    - "ns" (default): matmul-only two-phase Newton-Schulz small space — no
+      sequential loops in the kernel (measured: the fori_loop Cholesky
+      sweeps cost ~0.4us/iteration on v5e, dominating the kernel).
+    - "chol": in-kernel (2B)^2 Cholesky sweeps — exact PD check, slower.
     """
     b, d = eps.shape
     dtype = jnp.float32
@@ -217,13 +352,17 @@ def gsm_eps_update_fused(eps, vs, mean, f, jitter: float = 1e-6,
     f = f.astype(dtype)
     k2 = 2 * b
 
-    kernel = functools.partial(_update_kernel, batch=b, jitter=jitter)
     specs = dict(memory_space=pltpu.VMEM) if _HAS_PLTPU else {}
-    scratch = [
-        pltpu.VMEM((k2, k2), dtype) if _HAS_PLTPU
-        else pltpu_scratch_fallback((k2, k2), dtype)
-        for _ in range(3)
-    ]
+    if method == "ns":
+        kernel = functools.partial(_update_kernel_ns, batch=b)
+        scratch = []
+    else:
+        kernel = functools.partial(_update_kernel, batch=b, jitter=jitter)
+        scratch = [
+            pltpu.VMEM((k2, k2), dtype) if _HAS_PLTPU
+            else pltpu_scratch_fallback((k2, k2), dtype)
+            for _ in range(3)
+        ]
     mu_new, f_new, good = pl.pallas_call(
         kernel,
         out_shape=(
@@ -250,9 +389,14 @@ def pltpu_scratch_fallback(shape, dtype):  # pragma: no cover
 # ---------------------------------------------------------------------------
 
 def _uniform_from_bits(bits):
-    """uint32 random bits -> uniform(0, 1) f32 (never exactly 0)."""
-    return (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24)) \
-        + (0.5 / (1 << 24))
+    """Random bits -> uniform(0, 1) f32 (never exactly 0).
+
+    The PRNG primitive may hand the bits back as int32; a LOGICAL right
+    shift keeps the top 24 bits unsigned either way (an arithmetic shift on
+    a signed reinterpretation produced negative uniforms -> NaN in the
+    Box-Muller log on hardware)."""
+    top24 = jax.lax.shift_right_logical(bits, 8)
+    return top24.astype(jnp.float32) * (1.0 / (1 << 24)) + (0.5 / (1 << 24))
 
 
 def _boxmuller(shape):
@@ -265,7 +409,7 @@ def _boxmuller(shape):
 
 def make_fused_eps_step(score_fn, n_params: int, batch: int, d: int,
                         jitter: float = 1e-6, external_eps: bool = False,
-                        interpret: bool = False):
+                        interpret: bool = False, method: str = "ns"):
     """Build the ONE-kernel GSM step for a Pallas-traceable score.
 
     ``score_fn(x, *params) -> (B, D)`` is traced into the kernel (element-wise
@@ -290,7 +434,6 @@ def make_fused_eps_step(score_fn, n_params: int, batch: int, d: int,
     def kernel(first_ref, mu_ref, f_ref, *rest):
         params_refs = rest[:n_params]
         mu_out, f_out, good_out = rest[n_params:n_params + 3]
-        w_s, l_s, n_s = rest[n_params + 3:]
         if external_eps:
             e = first_ref[:]
         else:
@@ -302,6 +445,16 @@ def make_fused_eps_step(score_fn, n_params: int, batch: int, d: int,
                                      preferred_element_type=jnp.float32,
                                      precision=_HI)
         v = score_fn(x, *[p[:] for p in params_refs])
+        if method == "ns":
+            vf = jnp.dot(v, f, preferred_element_type=jnp.float32,
+                         precision=_HI)
+            mu_new, f_new, good = _eps_smallspace_ns(e, v, vf, mu, f,
+                                                     batch=batch)
+            mu_out[:] = jnp.where(good, mu_new, mu)
+            f_out[:] = jnp.where(good, f_new, f)
+            good_out[0, 0] = good.astype(jnp.int32)
+            return
+        w_s, l_s, n_s = rest[n_params + 3:]
         mu_new, f_new, good = _eps_update_core(
             e, v, mu, f, batch=batch, jitter=jitter,
             w_scratch=w_s, l_scratch=l_s, n_scratch=n_s)
@@ -331,12 +484,91 @@ def make_fused_eps_step(score_fn, n_params: int, batch: int, d: int,
             out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
                        pl.BlockSpec(memory_space=pltpu.VMEM),
                        pl.BlockSpec(memory_space=pltpu.SMEM)),
-            scratch_shapes=[pltpu.VMEM((k2, k2), jnp.float32)
-                            for _ in range(3)],
+            scratch_shapes=([] if method == "ns"
+                            else [pltpu.VMEM((k2, k2), jnp.float32)
+                                  for _ in range(3)]),
             interpret=interpret,
         )(first, mu2, f.astype(jnp.float32),
           *[p.astype(jnp.float32) for p in params])
         return mu_new[0], f_new, good[0, 0] > 0
+
+    return step
+
+
+_WEYL = -1640531527  # golden-ratio increment for per-step seed mixing
+
+
+def make_fused_eps_multistep(score_fn, n_params: int, batch: int, d: int,
+                             steps_per_call: int, method: str = "ns",
+                             iters=(8, 6, 8, 10, 6),
+                             skip_small: bool = False):
+    """SPC GSM iterations per kernel invocation — the dispatch amortizer.
+
+    Measured on v5e: a Pallas kernel invocation inside a scan costs ~25us of
+    fixed dispatch overhead (an EMPTY kernel times at 25us/step), which
+    dominates the fused step's ~15us of actual compute.  Looping
+    ``steps_per_call`` iterations INSIDE the kernel — state (mean, F) held in
+    VMEM/registers, PRNG reseeded per sub-step from (key_data, step counter)
+    — amortizes that overhead to 25/SPC us.
+
+    Returns ``step(kd, step0, mean, f, *params) -> (mean, f, n_accepted)``
+    advancing ``steps_per_call`` iterations; ``kd`` is an int32 scalar derived
+    from the fit key, ``step0`` the global iteration counter (distinct
+    sub-step seeds are ``kd ^ ((step0 + j) * WEYL)``).
+    """
+    if not _HAS_PLTPU:
+        raise RuntimeError("fused multi-step kernel requires TPU pallas")
+    if method != "ns":
+        raise ValueError("multi-step kernel supports method='ns' only")
+
+    def kernel(kd_ref, step0_ref, mu_ref, f_ref, *rest):
+        params = [p[:] for p in rest[:n_params]]
+        mu_out, f_out, acc_out = rest[n_params:]
+
+        def body(j, carry):
+            mu, f, acc = carry
+            pltpu.prng_seed(kd_ref[0] ^ ((step0_ref[0] + j) * _WEYL))
+            e = _boxmuller((batch, d))
+            x = mu + jax.lax.dot_general(e, f, (((1,), (1,)), ((), ())),
+                                         preferred_element_type=jnp.float32,
+                                         precision=_HI)
+            v = score_fn(x, *params)
+            vf = jnp.dot(v, f, preferred_element_type=jnp.float32,
+                         precision=_HI)
+            mu_new, f_new, good = _eps_smallspace_ns(
+                e, v, vf, mu, f, batch=batch, iters=iters,
+                skip_small=skip_small)
+            mu = jnp.where(good, mu_new, mu)
+            f = jnp.where(good, f_new, f)
+            return (mu, f, acc + good.astype(jnp.int32))
+
+        mu, f, acc = jax.lax.fori_loop(
+            0, steps_per_call, body,
+            (mu_ref[:], f_ref[:], jnp.zeros((), jnp.int32)))
+        mu_out[:] = mu
+        f_out[:] = f
+        acc_out[0, 0] = acc
+
+    @jax.jit
+    def step(kd, step0, mean, f, *params):
+        mu2 = mean.astype(jnp.float32).reshape(1, d)
+        kd = jnp.asarray(kd, jnp.int32).reshape(1)
+        step0 = jnp.asarray(step0, jnp.int32).reshape(1)
+        mu_new, f_new, acc = pl.pallas_call(
+            kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((1, d), jnp.float32),
+                jax.ShapeDtypeStruct((d, d), jnp.float32),
+                jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            ),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 + n_params),
+            out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                       pl.BlockSpec(memory_space=pltpu.VMEM),
+                       pl.BlockSpec(memory_space=pltpu.SMEM)),
+        )(kd, step0, mu2, f.astype(jnp.float32),
+          *[p.astype(jnp.float32) for p in params])
+        return mu_new[0], f_new, acc[0, 0]
 
     return step
 

@@ -7,14 +7,22 @@ must happen before jax initializes a backend, hence module scope here.
 
 import os
 
-os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
-)
+ON_TPU = bool(os.environ.get("TESTS_ON_TPU"))
+
+if not ON_TPU:
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    )
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+if not ON_TPU:
+    # Default: virtual 8-device CPU mesh, x64 oracles.  Set TESTS_ON_TPU=1
+    # to run the hardware suite (tests/test_tpu_hardware.py) on a real chip
+    # instead (f32; x64 is unsupported on TPU).
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

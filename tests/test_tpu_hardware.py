@@ -1,0 +1,123 @@
+"""Hardware validation: runs on a REAL TPU only (``TESTS_ON_TPU=1``).
+
+The CPU suite covers the Pallas kernels in interpret mode; these tests pin
+the actual Mosaic-compiled kernels against the XLA paths on hardware
+(VERDICT round-1 item #1: agreement asserted on the real TPU at least once).
+
+Run:  TESTS_ON_TPU=1 python -m pytest tests/test_tpu_hardware.py -q
+(under the axon tunnel: keep PYTHONPATH so the TPU backend resolves).
+Skipped automatically in the CPU CI (conftest forces the cpu platform there).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gsmvi_tpu.driver import on_tpu
+
+pytestmark = pytest.mark.skipif(not on_tpu(), reason="needs a real TPU")
+
+
+@pytest.fixture(scope="module")
+def rng32():
+    return np.random.default_rng(0)
+
+
+def test_fused_update_matches_jnp_on_tpu(rng32):
+    from gsmvi_tpu.ops.gsm_eps import apply_eps_step
+    from gsmvi_tpu.ops.pallas.fused_step import gsm_eps_update_fused
+
+    b, d = 32, 256
+    f = (0.3 * rng32.normal(size=(d, d)) + np.eye(d)).astype(np.float32)
+    mu = rng32.normal(size=d).astype(np.float32)
+    eps = rng32.normal(size=(b, d)).astype(np.float32)
+    v = (0.3 * rng32.normal(size=(b, d))).astype(np.float32)
+    m_j, f_j, good_j = apply_eps_step(jnp.asarray(mu), jnp.asarray(f),
+                                      jnp.asarray(eps), jnp.asarray(v),
+                                      jitter=1e-6)
+    m_p, f_p, good_p = gsm_eps_update_fused(jnp.asarray(eps), jnp.asarray(v),
+                                            jnp.asarray(mu), jnp.asarray(f))
+    assert bool(good_j) and bool(good_p)
+    np.testing.assert_allclose(np.asarray(m_p), np.asarray(m_j), atol=1e-5)
+    s_p = np.asarray(f_p) @ np.asarray(f_p).T
+    s_j = np.asarray(f_j) @ np.asarray(f_j).T
+    scale = max(1.0, float(np.abs(s_j).max()))
+    np.testing.assert_allclose(s_p, s_j, atol=1e-5 * scale)
+
+
+def test_inkernel_prng_moments():
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    import gsmvi_tpu.ops.pallas.fused_step as fs
+
+    b, d = 32, 256
+
+    def kern(seed_ref, eps_ref):
+        pltpu.prng_seed(seed_ref[0])
+        eps_ref[:] = fs._boxmuller((b, d))
+
+    @jax.jit
+    def gen(seed):
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((b, d), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )(seed.reshape(1))
+
+    e1 = np.asarray(gen(jnp.int32(1)))
+    e2 = np.asarray(gen(jnp.int32(2)))
+    assert np.isfinite(e1).all()
+    assert abs(e1.mean()) < 0.05 and abs(e1.std() - 1.0) < 0.05
+    assert not np.allclose(e1, e2)  # distinct seeds -> distinct streams
+
+
+def test_fused_whole_step_fit_converges_on_tpu():
+    from gsmvi_tpu import FactorGSM
+    from gsmvi_tpu.models import dense_gaussian
+
+    d = 256
+    t = dense_gaussian(jax.random.PRNGKey(3), d)
+    fg = FactorGSM(D=d, lp=t.lp, lp_g=t.lp_g, pallas_score=t.pallas_score)
+    st = fg.fit(jax.random.PRNGKey(0), niter=2000, batch_size=32,
+                verbose=False, return_state=True)
+    assert int(np.asarray(st.n_accepted)) == 2001
+    np.testing.assert_allclose(np.asarray(st.mean), np.asarray(t.mean),
+                               atol=0.02)
+    cerr = float(np.abs(np.asarray(st.cov) - np.asarray(t.cov)).max())
+    assert cerr / max(1.0, float(np.abs(np.asarray(t.cov)).max())) < 0.02
+
+
+def test_inkernel_chol_matches_numpy(rng32):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    import gsmvi_tpu.ops.pallas.fused_step as fs
+
+    k = 64
+    m = rng32.normal(size=(k, k)).astype(np.float32)
+    a = m @ m.T + k * np.eye(k, dtype=np.float32)
+
+    def kern(a_ref, l_ref, piv_ref, w_s):
+        w_s[:] = a_ref[:]
+        piv_ref[0, 0] = fs._cholt_inplace(w_s, l_ref, k)
+
+    @jax.jit
+    def chol(a):
+        return pl.pallas_call(
+            kern,
+            out_shape=(jax.ShapeDtypeStruct((k, k), jnp.float32),
+                       jax.ShapeDtypeStruct((1, 1), jnp.float32)),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                       pl.BlockSpec(memory_space=pltpu.SMEM)),
+            scratch_shapes=[pltpu.VMEM((k, k), jnp.float32)],
+        )(a)
+
+    lt, piv = chol(jnp.asarray(a))
+    assert float(np.asarray(piv)[0, 0]) > 0
+    np.testing.assert_allclose(np.asarray(lt).T, np.linalg.cholesky(a),
+                               atol=1e-4 * float(np.abs(a).max()))
