@@ -74,18 +74,31 @@ def _errs(mean, cov, target):
 
 
 def _time_fit(run, niter, target):
-    """(iters/s, mean_err, cov_err): warmup compiles + caches the runner;
-    the timed call is pure steady-state execution of the same program."""
-    import jax
+    """(iters/s, mean_err, cov_err) by DIFFERENTIAL timing.
 
-    mean, cov = run(niter)
-    jax.block_until_ready((mean, cov))
+    The tunneled device has ~35 ms of fixed dispatch+transfer latency per
+    program invocation (measured; ``block_until_ready`` does not sync on
+    this platform, so each timing ends with a host transfer).  Timing two
+    different iteration counts and differencing cancels that fixed cost:
+        it/s = (n2 - n1) / (t(n2) - t(n1)).
+    """
+    n1 = max(2, niter // 4)
+    mean, cov = run(niter)     # warm/compile the long program
+    np.asarray(mean)
+    mean, cov = run(n1)        # warm/compile the short program
+    np.asarray(mean)
+
+    t0 = time.perf_counter()
+    m1, c1 = run(n1)
+    np.asarray(m1)
+    t1 = time.perf_counter() - t0
     t0 = time.perf_counter()
     mean, cov = run(niter)
-    jax.block_until_ready((mean, cov))
-    dt = time.perf_counter() - t0
+    np.asarray(mean)
+    t2 = time.perf_counter() - t0
     em, ec = _errs(mean, cov, target)
-    return (niter + 1) / dt, em, ec
+    dt = max(t2 - t1, 1e-9)
+    return (niter - n1) / dt, em, ec
 
 
 def bench_matrix(targets):

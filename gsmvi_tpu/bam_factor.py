@@ -15,6 +15,19 @@ Differences, all TPU-motivated:
 
 Use ``BaM`` when you need the dense-state path (e.g. cov-sharded large-D) or
 eager numpy callables; use this for throughput.
+
+KNOWN LIMITATION (f32 / extreme conditioning): on targets whose covariance
+spans >~6 decades (e.g. ``dense_gaussian``'s L L^T + 1e-3 I at D >= 256,
+cond ~ 4e6), the small-space Gram spans ~reg^2 x score^2 decades and f32
+eigenvector error lets the per-direction contraction bleed into soft
+directions across steps — the covariance converges in the dominant
+directions but the MEAN can stall at the MC-noise floor of the soft ones
+(observed on TPU v5e; CPU f32 sits just under the threshold).  This is the
+regime where the reference itself requires x64 (its BaM examples enable it,
+``examples/example_bam.py:14-15``).  For such targets on TPU prefer dense
+``BaM`` (per-direction backward-stable solves) or x64 on CPU; FactorBaM is
+validated for moderately-conditioned targets (tests/test_bam_eps.py) where
+it is ~2.3x faster than the dense path on v5e.
 """
 
 from __future__ import annotations

@@ -58,7 +58,7 @@ class FactorGSM:
     def __init__(self, D, lp, lp_g, mesh=None, data_axis: str = "data",
                  dtype=None, refresh_every: int = 1000,
                  method: str = "eps", use_pallas: "bool | str" = "auto",
-                 pallas_score=None, steps_per_call: int = 16):
+                 pallas_score=None, steps_per_call: int = 4):
         """``method``:
         - "eps" (default): eps-coordinate update (ops/gsm_eps.py) — the
           state is (mean, F) only; no maintained inverse, no QR, no eigh;

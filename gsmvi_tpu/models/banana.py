@@ -30,6 +30,10 @@ def banana(d: int, curvature: float = 0.5, scale: float = 2.0) -> Target:
         return lp_head + lp_tail
 
     t = make_target(log_prob, d, name=f"banana_d{d}")
+    from ..ops.pallas.fused_step import banana_score_kernel
+
+    t.pallas_score = (banana_score_kernel,
+                      (jnp.asarray([[curvature, scale]], jnp.float32),))
 
     def sample(key, n):
         z = jax.random.normal(key, (n, d))

@@ -26,6 +26,10 @@ def funnel(d: int, sigma: float = 3.0) -> Target:
         return lp0 + lpr
 
     t = make_target(log_prob, d, name=f"funnel_d{d}")
+    from ..ops.pallas.fused_step import funnel_score_kernel
+
+    t.pallas_score = (funnel_score_kernel,
+                      (jnp.asarray([[sigma, float(d)]], jnp.float32),))
 
     def sample(key, n):
         k0, k1 = jax.random.split(key)

@@ -104,7 +104,19 @@ def bam_eps_update(eps, vs, mean, f, reg, jitter=None,
         omq = om.T @ q
         y = q + om @ (cu @ omq)                         # W1^T Q  (D, B+1)
         gy = y.T @ y                                    # (B+1, B+1) PSD
-        lmb, ev = jnp.linalg.eigh(0.5 * (gy + gy.T))
+        gy = 0.5 * (gy + gy.T)
+        # Normalized eigh + reconstruction gate: the Gram's norm scales like
+        # reg^2 x score^2 (1e10+ early in aggressive schedules) and TPU's
+        # f32 eigh loses the spectrum there (measured reconstruction error
+        # 4e-3 vs ~1e-5 on CPU) — accepted-but-wrong steps then wreck the
+        # MEAN while reg is still large.  Rejecting on the residual keeps
+        # the state until the decaying schedule re-enters the computable
+        # range (the reference needs x64 for exactly this regime).
+        gnorm = jnp.sqrt(jnp.sum(gy * gy)) + jnp.asarray(1e-30, dtype)
+        lmb_n, ev = jnp.linalg.eigh(gy / gnorm)
+        lmb = lmb_n * gnorm
+        recon = (ev * lmb_n) @ ev.T - gy / gnorm
+        eigh_ok = jnp.sum(recon * recon) < jnp.asarray(4e-6, dtype)
         lmax = jnp.maximum(lmb[-1], 0.0)
         eps_m = jnp.asarray(jnp.finfo(dtype).eps, dtype)
         lc = jnp.maximum(lmb, eps_m * lmax + jnp.asarray(1e-30, dtype))
@@ -131,7 +143,8 @@ def bam_eps_update(eps, vs, mean, f, reg, jitter=None,
         # schedules re-enter the computable regime.
         tr_new = jnp.sum(f_new * f_new)
         tr_v = jnp.sum(fw1 * fw1)
-        good = jnp.isfinite(tr_new) & (tr_new <= 1.05 * tr_v + 1e-6)
+        good = (jnp.isfinite(tr_new) & (tr_new <= 1.05 * tr_v + 1e-6)
+                & eigh_ok)
 
         # mu = mu0/(1+reg) + r1 (S gbar + xbar) with S = F' F'^T (the guarded
         # factor), so the mean inherits the bound the guard enforces.

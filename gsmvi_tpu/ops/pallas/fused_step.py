@@ -581,3 +581,46 @@ def gaussian_score_kernel(x, mu_t, prec):
     """
     return jnp.dot(mu_t - x, prec, preferred_element_type=jnp.float32,
                    precision=_HI)
+
+
+def funnel_score_kernel(x, sigma_d):
+    """In-kernel analytic score of Neal's funnel (models/funnel.py).
+
+    x0 ~ N(0, sigma^2), x_i | x0 ~ N(0, e^{x0}):
+      d/dx0   = -x0/sigma^2 + e^{-x0} sum(rest^2)/2 - (D-1)/2
+      d/drest = -rest e^{-x0}
+    ``sigma_d`` is a (1, 2) array [sigma, D] (kernel params ride in VMEM).
+    Element-wise ops + a row reduction only — Pallas-traceable.
+    """
+    b, d = x.shape
+    sigma = sigma_d[0, 0]
+    dd = sigma_d[0, 1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (b, d), 1)
+    is0 = col == 0
+    x0 = jnp.sum(jnp.where(is0, x, 0.0), axis=1, keepdims=True)   # (B, 1)
+    rest2 = jnp.sum(jnp.where(is0, 0.0, x * x), axis=1, keepdims=True)
+    e = jnp.exp(-x0)
+    g0 = -x0 / (sigma * sigma) + 0.5 * e * rest2 - 0.5 * (dd - 1.0)
+    grest = -x * e
+    return jnp.where(is0, g0, grest)
+
+
+def banana_score_kernel(x, cs):
+    """In-kernel analytic score of the banana target (models/banana.py).
+
+    With h = x1 - b (x0^2 - s^2):
+      d/dx0 = -x0/s^2 + 2 b x0 h,  d/dx1 = -h,  d/dtail = -tail.
+    ``cs`` is a (1, 2) array [curvature, scale].
+    """
+    b_, d = x.shape
+    curv = cs[0, 0]
+    s = cs[0, 1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (b_, d), 1)
+    is0 = col == 0
+    is1 = col == 1
+    x0 = jnp.sum(jnp.where(is0, x, 0.0), axis=1, keepdims=True)
+    x1 = jnp.sum(jnp.where(is1, x, 0.0), axis=1, keepdims=True)
+    h = x1 - curv * (x0 * x0 - s * s)
+    g0 = -x0 / (s * s) + 2.0 * curv * x0 * h
+    g1 = -h
+    return jnp.where(is0, g0, jnp.where(is1, g1, -x))

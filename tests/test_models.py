@@ -111,3 +111,24 @@ def test_gsm_on_student_t_stays_valid():
                     verbose=False, return_state=True)
     assert np.all(np.linalg.eigvalsh(np.asarray(state.cov)) > 0)
     np.testing.assert_allclose(np.asarray(state.mean), t.mean, atol=0.2)
+
+
+def test_analytic_pallas_scores_match_autodiff(rng):
+    """The in-kernel analytic scores (funnel, banana, gaussian) must equal
+    the autodiff score of the same density."""
+    import jax.numpy as jnp
+
+    from gsmvi_tpu.models import dense_gaussian
+    from gsmvi_tpu.models.banana import banana
+    from gsmvi_tpu.models.funnel import funnel
+
+    for t in [dense_gaussian(jax.random.PRNGKey(1), 8), funnel(8),
+              banana(8)]:
+        assert t.pallas_score is not None, t.name
+        score_fn, params = t.pallas_score
+        x = jnp.asarray(rng.normal(size=(5, 8)).astype(np.float32))
+        v_analytic = np.asarray(score_fn(x, *[jnp.asarray(p, jnp.float32)
+                                              for p in params]))
+        v_auto = np.asarray(t.lp_g(x))
+        np.testing.assert_allclose(v_analytic, v_auto, rtol=2e-4, atol=2e-4,
+                                   err_msg=t.name)
