@@ -58,7 +58,8 @@ class FactorGSM:
     def __init__(self, D, lp, lp_g, mesh=None, data_axis: str = "data",
                  dtype=None, refresh_every: int = 1000,
                  method: str = "eps", use_pallas: "bool | str" = "auto",
-                 pallas_score=None, steps_per_call: int = 4):
+                 pallas_score=None, steps_per_call: int = 4,
+                 cov_sharding=None):
         """``method``:
         - "eps" (default): eps-coordinate update (ops/gsm_eps.py) — the
           state is (mean, F) only; no maintained inverse, no QR, no eigh;
@@ -91,6 +92,12 @@ class FactorGSM:
         # kernel), so amortizing it across steps_per_call iterations is the
         # single largest throughput lever.
         self.steps_per_call = steps_per_call
+        # Optional NamedSharding splitting the (D, D) factor over a model
+        # axis: the LARGE-D scaling path.  Unlike the dense fitter — whose
+        # per-step D x D Cholesky XLA must gather — the eps step is pure
+        # matmuls, which GSPMD partitions cleanly over a 2-D (data x model)
+        # mesh; only O(B*D) row tensors and (2B)^2 scalars cross chips.
+        self.cov_sharding = cov_sharding
         self._runners = {}
 
     def _pallas_mode(self, batch_size: int):
@@ -163,6 +170,7 @@ class FactorGSM:
             if self.mesh is not None else None
         )
         mode = self._pallas_mode(batch_size)
+        cov_sh = self.cov_sharding
 
         if mode == "step":
             score_fn, params = self.pallas_score
@@ -218,6 +226,8 @@ class FactorGSM:
             if method == "eps":
                 mean, f, good = apply_eps_step(state.mean, state.factor,
                                                eps, vs)
+                if cov_sh is not None:
+                    f = jax.lax.with_sharding_constraint(f, cov_sh)
                 g32 = good.astype(jnp.int32)
                 return FactorVIState(mean, f, state.finv, key,
                                      state.step + 1,

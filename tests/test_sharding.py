@@ -158,3 +158,23 @@ def test_monitored_sharded_fit(mesh, target):
     assert len(mon.rkl) == 5  # i=0,20,40,60 + final
     assert np.isfinite(mon.rkl).all()
     assert mon.rkl[-1] < mon.rkl[0]
+
+
+def test_2d_mesh_factor_gsm_cov_sharded(eight_devices, target):
+    """Large-D path on factor state: 2-D (data x model) mesh with the factor
+    column-sharded.  Unlike the dense path (whose D x D Cholesky XLA must
+    gather), the eps step is pure matmuls — GSPMD partitions it without any
+    full-gather of F.  Must match the unsharded fit trajectory."""
+    from gsmvi_tpu import FactorGSM
+    from gsmvi_tpu.parallel.large_d import cov_sharding, make_mesh_2d
+
+    t = target
+    mesh2 = make_mesh_2d(2, 4)
+    kw = dict(niter=60, batch_size=16, verbose=False)
+    m1, c1 = FactorGSM(D=t.d, lp=t.lp, lp_g=t.lp_g).fit(
+        jax.random.PRNGKey(9), **kw)
+    fg = FactorGSM(D=t.d, lp=t.lp, lp_g=t.lp_g, mesh=mesh2,
+                   cov_sharding=cov_sharding(mesh2))
+    m2, c2 = fg.fit(jax.random.PRNGKey(9), **kw)
+    np.testing.assert_allclose(np.asarray(m2), np.asarray(m1), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(c2), np.asarray(c1), atol=1e-8)
