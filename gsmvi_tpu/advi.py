@@ -76,6 +76,8 @@ class ADVI:
         """
         # True-f32 matmuls: the reparameterized gradient is sensitive to the
         # TPU's default bf16 matmul passes.
+        import math
+
         with jax.default_matmul_precision("float32"):
             loc, scales = params
             l = self.scales_to_tril(scales)
@@ -84,7 +86,15 @@ class ADVI:
                 eps = jax.lax.with_sharding_constraint(
                     eps, data_sharding(self.mesh, self.data_axis))
             samples = loc + eps @ l.T
-            logq = jnp.sum(mvn_logpdf(samples, loc, l))
+            # log q(x(theta); theta) == -|eps|^2/2 - logdet L - D/2 log 2pi
+            # IDENTICALLY in theta for reparameterized samples — same value
+            # and same gradient as the density route, without the
+            # triangular solve (which is panel-sequential and dominates the
+            # step on TPU at large D).
+            logdet = jnp.sum(jnp.log(jnp.abs(jnp.diagonal(l))))
+            logq = (-0.5 * jnp.sum(eps * eps)
+                    - batch_size * (logdet
+                                    + 0.5 * self.D * math.log(2.0 * math.pi)))
             logl = jnp.sum(self.lp(samples))
             return -(logl - logq)
 
