@@ -35,7 +35,8 @@ PRIMARY_D = 256
 # x mixing iterations, so the large-D cells get more; ADVI converges much
 # slower per iteration and gets its own (smaller at D=1024 where its step
 # is ~40ms).
-NITER = {64: 4000, 256: 3000, 512: 4000, 1024: 3000}
+NITER = {64: 4000, 256: 3000, 512: 4000, 1024: 8000}
+NITER_BAM = {64: 3000, 256: 2000, 512: 2000, 1024: 1000}
 NITER_ADVI = {64: 4000, 256: 4000, 512: 2000, 1024: 300}
 NITER_BASE = 150
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "2700"))
@@ -123,7 +124,8 @@ def bench_matrix(targets):
             results.setdefault(name, {})[str(d)] = None
             return
         t = targets[d] if d in targets else targets["ill512"]
-        table = NITER_ADVI if name == "advi" else NITER
+        table = (NITER_ADVI if name == "advi"
+                 else NITER_BAM if "bam" in name else NITER)
         niter = table[t.d] if not SMOKE else 50
         try:
             ips, em, ec = _time_fit(maker(t), niter, t)

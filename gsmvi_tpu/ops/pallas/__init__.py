@@ -10,4 +10,7 @@ Use ``gsm_update_fused`` / availability helpers; fitters select Pallas
 automatically on TPU for supported shapes.
 """
 
+from .fused_step import (fused_supported, gaussian_score_kernel,
+                         gsm_eps_update_fused, make_fused_eps_multistep,
+                         make_fused_eps_step)
 from .gsm_step import gsm_update_fused, pallas_supported
