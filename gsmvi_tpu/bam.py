@@ -51,7 +51,7 @@ class BaM:
 
     def __init__(self, D, lp, lp_g, use_lowrank=False, jit_compile=True,
                  mesh=None, data_axis: str = "data", dtype=None,
-                 sqrt_method: str = "auto"):
+                 sqrt_method: str = "auto", auto_lowrank: bool = True):
         self.D = D
         self.lp = lp
         self.lp_g = lp_g
@@ -66,6 +66,9 @@ class BaM:
         if sqrt_method == "auto":
             sqrt_method = "newton" if on_tpu() else "eigh"
         self.sqrt_method = sqrt_method
+        # Route full-rank requests through the (exact) low-rank algebra when
+        # B+1 << D; disable to force the dense root regardless of shape.
+        self.auto_lowrank = auto_lowrank
         self._runners = RunnerCache()
 
     def _get_runner(self, batch_size, regf, retries, jitter):
@@ -77,7 +80,14 @@ class BaM:
                 self._make_step(batch_size, regf, retries, jitter)))
 
     def _update(self, samples, vs, mean, cov, reg, jitter):
-        if self.use_lowrank:
+        b, d = samples.shape
+        # U is EXACTLY rank <= B+1 by construction (ops/bam.py docstring), so
+        # the low-rank Woodbury algebra returns the identical full-rank
+        # result (pinned in tests/test_bam_kernels.py) while replacing the
+        # D x D matrix root with a (B+1)-sized one.  Route automatically
+        # when that is a clear win (the D=1024 full-rank root costs ~100x
+        # the low-rank path on v5e).
+        if self.use_lowrank or (self.auto_lowrank and 4 * (b + 1) <= d):
             return bam_lowrank_update(samples, vs, mean, cov, reg, jitter,
                                       sqrt_method=self.sqrt_method)
         return bam_update(samples, vs, mean, cov, reg, jitter,

@@ -156,3 +156,26 @@ def test_lowrank_newton_matches_eigh(rng):
                                newton_iters=30)
     np.testing.assert_allclose(mu, mu_ref, atol=1e-6)
     np.testing.assert_allclose(s, s_ref, atol=1e-6)
+
+
+def test_auto_lowrank_routing_matches_forced_fullrank():
+    """BaM's auto low-rank routing (B+1 << D) must reproduce the forced
+    full-rank fit — the routing is an exact algebraic identity, not an
+    approximation."""
+    import jax
+
+    from gsmvi_tpu import BaM, Regularizers
+    from gsmvi_tpu.models import dense_gaussian
+
+    t = dense_gaussian(jax.random.PRNGKey(3), 40)
+    kw = dict(niter=40, batch_size=4, verbose=False, retries=0)
+    bam_auto = BaM(D=40, lp=t.lp, lp_g=t.lp_g)              # routes (4*5<=40)
+    bam_full = BaM(D=40, lp=t.lp, lp_g=t.lp_g, auto_lowrank=False)
+    m1, c1 = bam_auto.fit(jax.random.PRNGKey(0),
+                          regf=Regularizers().linear(50.0), **kw)
+    m2, c2 = bam_full.fit(jax.random.PRNGKey(0),
+                          regf=Regularizers().linear(50.0), **kw)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2),
+                               rtol=1e-6, atol=1e-7)
