@@ -59,6 +59,16 @@ class ADVI:
 
     # -- parameterization ---------------------------------------------------
     def scales_to_tril(self, scales):
+        """Lower-triangular factor from either parameter form.
+
+        Internally ADVI optimizes a MASKED-DENSE (D, D) matrix — `jnp.tril`
+        is a cheap mask, whereas the reference's flat-vector form needs a
+        525k-element scatter/gather pair per step at D=1024 (milliseconds on
+        TPU).  The two give identical adam trajectories: upper entries start
+        at zero and receive zero gradient.  Flat (D(D+1)/2,) vectors are
+        still accepted for reference-API compatibility."""
+        if scales.ndim == 2:
+            return jnp.tril(scales)
         tril = jnp.zeros((self.D, self.D), scales.dtype)
         return tril.at[self.idx_tril].set(scales)
 
@@ -129,9 +139,10 @@ class ADVI:
             mean = jnp.zeros(self.D, dtype)
         if cov is None:
             cov = jnp.eye(self.D, dtype=dtype)
-        # Optimize unconstrained Cholesky entries (reference gsmvi/advi.py:80-83).
+        # Optimize unconstrained Cholesky entries (reference gsmvi/advi.py:80-83)
+        # in masked-dense form (see scales_to_tril).
         l0 = jnp.linalg.cholesky(jnp.asarray(cov, dtype))
-        scales = l0[self.idx_tril]
+        scales = jnp.tril(l0)
         params = (jnp.asarray(mean, dtype), scales)
         state = ADVIState(params[0], params[1], opt.init(params), key,
                           jnp.zeros((), jnp.int32), jnp.zeros((), dtype))
@@ -184,7 +195,7 @@ class ADVI:
 
         def init_one(kk, m, c):
             l0 = jnp.linalg.cholesky(c)
-            scales = l0[self.idx_tril]
+            scales = jnp.tril(l0)
             params = (m, scales)
             return ADVIState(m, scales, opt.init(params), kk,
                              jnp.zeros((), jnp.int32), jnp.zeros((), dtype))
