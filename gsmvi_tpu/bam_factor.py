@@ -16,18 +16,14 @@ Differences, all TPU-motivated:
 Use ``BaM`` when you need the dense-state path (e.g. cov-sharded large-D) or
 eager numpy callables; use this for throughput.
 
-KNOWN LIMITATION (f32 / extreme conditioning): on targets whose covariance
-spans >~6 decades (e.g. ``dense_gaussian``'s L L^T + 1e-3 I at D >= 256,
-cond ~ 4e6), the small-space Gram spans ~reg^2 x score^2 decades and f32
-eigenvector error lets the per-direction contraction bleed into soft
-directions across steps — the covariance converges in the dominant
-directions but the MEAN can stall at the MC-noise floor of the soft ones
-(observed on TPU v5e; CPU f32 sits just under the threshold).  This is the
-regime where the reference itself requires x64 (its BaM examples enable it,
-``examples/example_bam.py:14-15``).  For such targets on TPU prefer dense
-``BaM`` (per-direction backward-stable solves) or x64 on CPU; FactorBaM is
-validated for moderately-conditioned targets (tests/test_bam_eps.py) where
-it is ~2.3x faster than the dense path on v5e.
+Numerical route: the small-space spectrum is computed by a thin SVD of the
+(D, B+1) factor by default (``solver="svd"``), which resolves the
+contraction weights at kappa(Y) — NOT kappa(Y)^2 — accuracy.  That is what
+makes this path work in f32 on stiff targets (``dense_gaussian`` at D=256,
+cond ~ 4e6, converges to mean_err ~ 8e-4 on TPU v5e) in the very regime
+where the reference's BaM requires x64 (``examples/example_bam.py:14-15``).
+``solver="eigh"`` (Gram eigendecomposition) is ~70 us/step cheaper on v5e
+but stalls the MEAN on such targets — see ops/bam_eps.py for the analysis.
 """
 
 from __future__ import annotations
@@ -48,7 +44,7 @@ class FactorBaM:
     """Fit a dense-covariance Gaussian by BaM updates on factor state."""
 
     def __init__(self, D, lp, lp_g, mesh=None, data_axis: str = "data",
-                 dtype=None, sqrt_method: str = "auto"):
+                 dtype=None, sqrt_method: str = "auto", solver: str = "svd"):
         self.D = D
         self.lp = lp
         self.lp_g = lp_g
@@ -61,6 +57,11 @@ class FactorBaM:
             # (matmuls only), with robustness from the PD select.
             sqrt_method = "newton" if on_tpu() else "eigh"
         self.sqrt_method = sqrt_method
+        # "svd" (default) resolves the small-space spectrum at kappa(Y)
+        # accuracy — required for stiff targets at f32 (ops/bam_eps.py
+        # docstring); "eigh" is ~70 us/step cheaper on v5e but squares the
+        # condition number.
+        self.solver = solver
         self._runners = RunnerCache()
 
     def _make_step(self, batch_size: int, regf, retries: int, jitter):
@@ -68,6 +69,7 @@ class FactorBaM:
         d = self.D
         dtype = self.dtype
         sqrt_method = self.sqrt_method
+        solver = self.solver
         sharding = (data_sharding(self.mesh, self.data_axis)
                     if self.mesh is not None else None)
 
@@ -82,7 +84,7 @@ class FactorBaM:
                 reg = jnp.asarray(regf(state.step), dtype)
                 mean_new, f_new, good = bam_eps_update(
                     eps, vs, state.mean, state.factor, reg, jitter,
-                    sqrt_method)
+                    sqrt_method, solver=solver)
                 return key, mean_new, f_new, good
 
         def step(state: FactorVIState) -> FactorVIState:

@@ -52,7 +52,8 @@ from .gsm_factor import _update_corr
 
 
 def bam_eps_update(eps, vs, mean, f, reg, jitter=None,
-                   sqrt_method: str = "eigh", newton_iters: int = 20):
+                   sqrt_method: str = "eigh", newton_iters: int = 20,
+                   solver: str = "svd"):
     """One factor-coordinate BaM step.
 
     Inputs: eps (B, D) the standard-normal draws used for sampling;
@@ -60,6 +61,25 @@ def bam_eps_update(eps, vs, mean, f, reg, jitter=None,
     reg — the regularizer value for this iteration.
     Returns (mean_new, f_new, good): proposals plus the exact PD flag of the
     proposed covariance; callers select/revert on ``good``.
+
+    ``solver`` picks how the small-space spectrum of Y = W1^T Q is computed:
+
+    - ``"svd"`` (default): thin SVD of Y itself.  The contraction weights
+      sqrt(sigma(l)) - 1 vary fastest near l ~ 1, so they need the singular
+      values resolved to ADDITIVE accuracy ~ eps_f32 * smax near s ~ 1 —
+      SVD of Y delivers exactly that (backward error eps * ||Y||, i.e.
+      condition kappa(Y)), and its left singular vectors are orthonormal to
+      machine precision even for noise-level directions, whose weights
+      vanish as l -> 0.  Measured f32 map error vs f64: 3e-5 at
+      kappa(Y) ~ 1e4, 7e-4 at 1e5 (CPU study, 2026-08).
+    - ``"eigh"``: eigh of the Gram Y^T Y — one 33x33 eigh instead of a thin
+      SVD (~70 us cheaper per step in-scan on v5e), but the Gram SQUARES the
+      condition number: above kappa(Y) ~ 1e4 (reg x score scales early in
+      aggressive schedules on stiff targets) the f32 spectrum near l ~ 1 is
+      unresolved and the per-direction contraction goes wrong by O(1e-1) —
+      the covariance still converges in dominant directions but the MEAN
+      stalls (observed on TPU v5e at D=256 on ``dense_gaussian``).  Use only
+      for moderately-conditioned targets or small regularizers.
     """
     b, d = eps.shape
     with jax.default_matmul_precision("float32"):
@@ -103,33 +123,42 @@ def bam_eps_update(eps, vs, mean, f, reg, jitter=None,
         cu, _ = _update_corr(gu, newton_iters)
         omq = om.T @ q
         y = q + om @ (cu @ omq)                         # W1^T Q  (D, B+1)
-        gy = y.T @ y                                    # (B+1, B+1) PSD
-        gy = 0.5 * (gy + gy.T)
-        # Normalized eigh + reconstruction gate: the Gram's norm scales like
-        # reg^2 x score^2 (1e10+ early in aggressive schedules) and TPU's
-        # f32 eigh loses the spectrum there (measured reconstruction error
-        # 4e-3 vs ~1e-5 on CPU) — accepted-but-wrong steps then wreck the
-        # MEAN while reg is still large.  Rejecting on the residual keeps
-        # the state until the decaying schedule re-enters the computable
-        # range (the reference needs x64 for exactly this regime).
-        gnorm = jnp.sqrt(jnp.sum(gy * gy)) + jnp.asarray(1e-30, dtype)
-        lmb_n, ev = jnp.linalg.eigh(gy / gnorm)
-        lmb = lmb_n * gnorm
-        recon = (ev * lmb_n) @ ev.T - gy / gnorm
-        eigh_ok = jnp.sum(recon * recon) < jnp.asarray(4e-6, dtype)
-        lmax = jnp.maximum(lmb[-1], 0.0)
-        eps_m = jnp.asarray(jnp.finfo(dtype).eps, dtype)
-        lc = jnp.maximum(lmb, eps_m * lmax + jnp.asarray(1e-30, dtype))
-        sigma = 2.0 / (1.0 + jnp.sqrt(1.0 + 4.0 * lc))
-        # Contraction weights sqrt(sigma) - 1 in (-1, 0] on the NORMALIZED
-        # eigenbasis Y E / sqrt(l) (unit columns by construction; exactly
-        # orthonormal at working precision for resolved eigenvalues, and the
-        # eps*lmax clamp caps the column norm of noise directions).  The
-        # normalization is what bounds f32 damage: every basis column is
-        # ~unit, every weight is in (-1, 0], so the correction can never
-        # inflate by the raw ||Y||^2 ~ reg^2 factor that the unnormalized
-        # form exposes.
-        ytil = (y @ ev) * jax.lax.rsqrt(lc)             # (D, B+1) unit cols
+        if solver == "svd":
+            # Thin SVD of Y: s resolved to ~eps*smax ADDITIVELY (kappa, not
+            # kappa^2) and u orthonormal to machine precision — noise-level
+            # directions get weights -> 0, so f32 damage is self-damped.
+            u_y, s_y, _ = jnp.linalg.svd(y, full_matrices=False)
+            lmb = s_y * s_y
+            ytil = u_y                                  # (D, <=B+1) orthonrm
+            eigh_ok = jnp.isfinite(s_y[0])
+        else:
+            gy = y.T @ y                                # (B+1, B+1) PSD
+            gy = 0.5 * (gy + gy.T)
+            # Normalized eigh + reconstruction gate: the Gram's norm scales
+            # like reg^2 x score^2 (1e10+ early in aggressive schedules) and
+            # TPU's f32 eigh loses the spectrum there (measured
+            # reconstruction error 4e-3 vs ~1e-5 on CPU) — accepted-but-
+            # wrong steps then wreck the MEAN while reg is still large.
+            # Rejecting on the residual keeps the state until the decaying
+            # schedule re-enters the computable range (the reference needs
+            # x64 for exactly this regime).
+            gnorm = jnp.sqrt(jnp.sum(gy * gy)) + jnp.asarray(1e-30, dtype)
+            lmb_n, ev = jnp.linalg.eigh(gy / gnorm)
+            lmb = lmb_n * gnorm
+            recon = (ev * lmb_n) @ ev.T - gy / gnorm
+            eigh_ok = jnp.sum(recon * recon) < jnp.asarray(4e-6, dtype)
+            lmax = jnp.maximum(lmb[-1], 0.0)
+            eps_m = jnp.asarray(jnp.finfo(dtype).eps, dtype)
+            lc = jnp.maximum(lmb, eps_m * lmax + jnp.asarray(1e-30, dtype))
+            # Unit columns by construction; exactly orthonormal at working
+            # precision for resolved eigenvalues, and the eps*lmax clamp
+            # caps the column norm of noise directions.
+            ytil = (y @ ev) * jax.lax.rsqrt(lc)         # (D, B+1) unit cols
+        lmb = jnp.maximum(lmb, 0.0)
+        sigma = 2.0 / (1.0 + jnp.sqrt(1.0 + 4.0 * lmb))
+        # Contraction weights in (-1, 0] on a ~unit-column basis: the
+        # correction can never inflate by the raw ||Y||^2 ~ reg^2 factor
+        # that the unnormalized form exposes.
         wdiag = jnp.sqrt(sigma) - 1.0                   # in (-1, 0]
         # F' = F W1 (I + Yt diag(w) Yt^T)
         fw1 = f + (f @ om) @ (cu @ om.T)                # F W1
@@ -155,12 +184,14 @@ def bam_eps_update(eps, vs, mean, f, reg, jitter=None,
 
 
 def apply_bam_eps_step(state_mean, state_f, eps, vs, reg, jitter=None,
-                       sqrt_method: str = "eigh", newton_iters: int = 20):
+                       sqrt_method: str = "eigh", newton_iters: int = 20,
+                       solver: str = "svd"):
     """Proposal + select: keeps the old (mean, F) when the proposal fails
     its exact PD check (replaces the reference's host jitter/retry loop,
     ``gsmvi/bam.py:188-206``, for the non-retry path)."""
     mean_new, f_new, good = bam_eps_update(eps, vs, state_mean, state_f, reg,
-                                           jitter, sqrt_method, newton_iters)
+                                           jitter, sqrt_method, newton_iters,
+                                           solver)
     mean = jnp.where(good, mean_new, state_mean)
     f = jnp.where(good, f_new, state_f)
     return mean, f, good

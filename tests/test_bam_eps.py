@@ -61,6 +61,40 @@ def test_f32_accuracy(rng):
                                atol=5e-4 * scale)
 
 
+def test_f32_svd_solver_stiff_regime(rng):
+    """The round-2 TPU stall: large reg x large scores make kappa(Y) ~ 1e4+,
+    where the Gram-eigh route's kappa^2 exceeds f32 and the contraction
+    weights go wrong by O(1e-1) (mean stalls at D=256 on dense_gaussian).
+    The default SVD solver resolves the spectrum at kappa(Y) accuracy; pin
+    the f32 step against the f64 ground truth in exactly that regime."""
+    b, d, reg = 32, 128, 100.0
+    # Stiff factor: singular values spanning ~3 decades.
+    u, _ = np.linalg.qr(rng.normal(size=(d, d)))
+    f = (u * np.logspace(-1.5, 1.5, d)) @ u.T + 0.0
+    mu = rng.normal(size=d)
+    eps = rng.normal(size=(b, d))
+    v = 30.0 * rng.normal(size=(b, d))        # large scores, as early in fit
+
+    m64, f64_, good64 = bam_eps_update(
+        jnp.asarray(eps), jnp.asarray(v), jnp.asarray(mu), jnp.asarray(f),
+        reg, jitter=0.0)
+    assert bool(good64)
+    s64 = np.asarray(f64_ @ f64_.T, np.float64)
+
+    a32 = lambda x: jnp.asarray(x, jnp.float32)
+    m32, f32_, good32 = bam_eps_update(
+        a32(eps), a32(v), a32(mu), a32(f), np.float32(reg), solver="svd")
+    assert bool(good32)
+    s32 = np.asarray(f32_ @ f32_.T, np.float64)
+    scale = max(1.0, np.abs(s64).max())
+    assert np.abs(s32 - s64).max() / scale < 2e-4
+    mscale = max(1.0, np.abs(np.asarray(m64)).max())
+    # The mean applies S to the (large) mean score — one extra kappa factor
+    # of amplification over the covariance; 2.5e-4 observed.
+    assert np.abs(np.asarray(m32, np.float64) - np.asarray(m64)).max() \
+        / mscale < 1e-3
+
+
 def test_fitter_end_to_end_recovery():
     from gsmvi_tpu.models import dense_gaussian
 
