@@ -50,7 +50,7 @@ class GSM:
 
     def __init__(self, D, lp, lp_g, mesh=None, data_axis: str = "data",
                  dtype=None, use_pallas: "bool | str" = "auto",
-                 cov_sharding=None):
+                 cov_sharding=None, chol_block=None):
         self.D = D
         self.lp = lp
         self.lp_g = lp_g
@@ -61,6 +61,16 @@ class GSM:
         # Optional NamedSharding splitting the (D, D) covariance over a model
         # axis for very large D (see parallel/large_d.py).
         self.cov_sharding = cov_sharding
+        # With a sharded covariance, a monolithic XLA cholesky forces GSPMD
+        # to all-gather Σ every step; ``chol_block`` switches the validity/
+        # sampling factorization to the blocked right-looking form whose
+        # O(D^3) trailing updates stay partitioned (parallel/chol.py).
+        if chol_block is not None:
+            from .parallel.chol import make_blocked_cholesky
+
+            self.chol_fn = make_blocked_cholesky(chol_block, cov_sharding)
+        else:
+            self.chol_fn = None
         self._runners = {}
 
     def _get_runner(self, batch_size: int):
@@ -121,7 +131,8 @@ class GSM:
                 mean_new, cov_new = state.mean + dmu, state.cov + ds
             if cov_sh is not None:
                 cov_new = jax.lax.with_sharding_constraint(cov_new, cov_sh)
-            return accept_or_revert(state, mean_new, cov_new, key)
+            return accept_or_revert(state, mean_new, cov_new, key,
+                                    chol_fn=self.chol_fn)
 
         return step
 

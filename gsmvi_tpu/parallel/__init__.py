@@ -10,8 +10,12 @@ the TPU-native equivalents:
   statistics, for users who want collective placement spelled out (the
   jit/GSPMD path in the fitters gets the same result automatically).
 - ``distributed`` — ``jax.distributed.initialize`` helpers for multi-host runs.
+- ``chol``        — blocked right-looking Cholesky whose O(D^3) trailing
+  GEMMs stay partitioned under a model-sharded covariance (no per-step
+  all-gather of Σ).
 """
 
 from .mesh import data_sharding, make_mesh, replicated_sharding
 from .distributed import initialize_distributed
 from .large_d import batch_sharding_2d, cov_sharding, make_mesh_2d
+from .chol import blocked_cholesky, make_blocked_cholesky

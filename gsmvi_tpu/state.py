@@ -45,16 +45,19 @@ def init_state(key, d: int, mean=None, cov=None, dtype=None) -> VIState:
     return VIState(mean, cov, chol, key, zero, zero, zero)
 
 
-def accept_or_revert(state: VIState, mean_new, cov_new, key) -> VIState:
+def accept_or_revert(state: VIState, mean_new, cov_new, key,
+                     chol_fn=None) -> VIState:
     """On-device goodness check + revert.
 
     A proposed (mean, cov) is accepted iff its Cholesky factor is finite —
     the pure-functional equivalent of the reference's host-side
     try/``np.linalg.cholesky``/isnan check and revert (``gsmvi/gsm.py:125-129``).
     The factor is reused for the next iteration's sampling, so the check is
-    free.
+    free.  ``chol_fn`` swaps the factorization (default XLA cholesky) — the
+    sharded large-D path passes ``parallel.chol.blocked_cholesky`` so the
+    O(D^3) work stays partitioned instead of gathering Σ every step.
     """
-    chol_new = jnp.linalg.cholesky(cov_new)
+    chol_new = (chol_fn or jnp.linalg.cholesky)(cov_new)
     good = jnp.all(jnp.isfinite(chol_new))
     mean = jnp.where(good, mean_new, state.mean)
     cov = jnp.where(good, cov_new, state.cov)
