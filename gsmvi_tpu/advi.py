@@ -139,13 +139,25 @@ class ADVI:
             mean = jnp.zeros(self.D, dtype)
         if cov is None:
             cov = jnp.eye(self.D, dtype=dtype)
-        # Optimize unconstrained Cholesky entries (reference gsmvi/advi.py:80-83)
-        # in masked-dense form (see scales_to_tril).
-        l0 = jnp.linalg.cholesky(jnp.asarray(cov, dtype))
-        scales = jnp.tril(l0)
-        params = (jnp.asarray(mean, dtype), scales)
-        state = ADVIState(params[0], params[1], opt.init(params), key,
-                          jnp.zeros((), jnp.int32), jnp.zeros((), dtype))
+
+        # One jitted program for the whole init (cholesky + tril + opt.init):
+        # eagerly these are ~15 separate dispatches, which on a tunneled
+        # device cost ~35 ms each and dominate short fits.
+        def build_init():
+            @jax.jit
+            def init_state(mean, cov, key):
+                # Optimize unconstrained Cholesky entries (reference
+                # gsmvi/advi.py:80-83) in masked-dense form (scales_to_tril).
+                l0 = jnp.linalg.cholesky(jnp.asarray(cov, dtype))
+                params = (jnp.asarray(mean, dtype), jnp.tril(l0))
+                return ADVIState(params[0], params[1], opt.init(params), key,
+                                 jnp.zeros((), jnp.int32),
+                                 jnp.zeros((), dtype))
+
+            return init_state
+
+        init_state = self._runners.get(("init",), (opt,), build_init)
+        state = init_state(mean, cov, key)
 
         step = self._make_step(batch_size, opt)
         # ``opt`` is identity-keyed; RunnerCache pins it against id reuse.
