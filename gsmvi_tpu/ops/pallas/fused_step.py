@@ -43,25 +43,36 @@ except Exception:  # pragma: no cover
     pltpu = None
     _HAS_PLTPU = False
 
-_VMEM_LIMIT_BYTES = 14 * 1024 * 1024
+# Mosaic's DEFAULT scoped-VMEM cap is ~16 MB — far below the chip's physical
+# VMEM (128 MiB on v5e).  We raise the cap per-kernel via
+# CompilerParams(vmem_limit_bytes=...) so D=1024 (measured ~22-27 MB scoped
+# incl. score params) compiles; the gate below keeps a safety margin.
+_VMEM_LIMIT_BYTES = 96 * 1024 * 1024
 _HI = jax.lax.Precision.HIGHEST
+
+
+def _compiler_params(interpret: bool):
+    """Raised VMEM cap for the real-TPU compile (ignored under interpret)."""
+    if interpret or not _HAS_PLTPU:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT_BYTES)
 
 
 def fused_supported(b: int, d: int, itemsize: int = 4) -> bool:
     """Gate: shapes the single-program kernel handles well.
 
     2B x 2B small tiles want sublane alignment (B multiple of 4); the row
-    tensors and both D x D mats must fit VMEM alongside ~12 (B, D)-sized
+    tensors, both D x D mats, and a D x D score param (e.g. the analytic
+    precision) must fit the raised scoped-VMEM cap alongside ~12 (B, D)
     intermediates.
     """
     if not _HAS_PLTPU:
         return False
     if b < 4 or b % 4 != 0:
         return False
-    # 6x D^2: f in/out + the multi-step fori_loop's carry double-buffering
-    # (measured: D=1024 needs ~22M scoped VMEM against a 16M limit, so it
-    # must fall back to the jnp eps path).
-    vmem = 6 * d * d * itemsize + 16 * b * d * itemsize \
+    # 6x D^2: f in/out + the multi-step fori_loop's carry double-buffering;
+    # +1 D^2 for score params (gaussian precision).
+    vmem = 7 * d * d * itemsize + 16 * b * d * itemsize \
         + 8 * (2 * b) * (2 * b) * itemsize
     return vmem < _VMEM_LIMIT_BYTES
 
@@ -376,6 +387,8 @@ def gsm_eps_update_fused(eps, vs, mean, f, jitter: float = 1e-6,
                    else pl.BlockSpec()),
         scratch_shapes=scratch,
         interpret=interpret,
+        **({"compiler_params": _compiler_params(interpret)}
+           if _compiler_params(interpret) else {}),
     )(eps, vs, mu2, f)
     return mu_new[0], f_new, good[0, 0] > 0
 
@@ -488,6 +501,8 @@ def make_fused_eps_step(score_fn, n_params: int, batch: int, d: int,
                             else [pltpu.VMEM((k2, k2), jnp.float32)
                                   for _ in range(3)]),
             interpret=interpret,
+            **({"compiler_params": _compiler_params(interpret)}
+               if _compiler_params(interpret) else {}),
         )(first, mu2, f.astype(jnp.float32),
           *[p.astype(jnp.float32) for p in params])
         return mu_new[0], f_new, good[0, 0] > 0
@@ -566,6 +581,8 @@ def make_fused_eps_multistep(score_fn, n_params: int, batch: int, d: int,
             out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
                        pl.BlockSpec(memory_space=pltpu.VMEM),
                        pl.BlockSpec(memory_space=pltpu.SMEM)),
+            **({"compiler_params": _compiler_params(False)}
+               if _compiler_params(False) else {}),
         )(kd, step0, mu2, f.astype(jnp.float32),
           *[p.astype(jnp.float32) for p in params])
         return mu_new[0], f_new, acc[0, 0]

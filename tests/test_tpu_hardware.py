@@ -121,3 +121,29 @@ def test_inkernel_chol_matches_numpy(rng32):
     assert float(np.asarray(piv)[0, 0]) > 0
     np.testing.assert_allclose(np.asarray(lt).T, np.linalg.cholesky(a),
                                atol=1e-4 * float(np.abs(a).max()))
+
+
+def test_fused_update_matches_jnp_on_tpu_d1024(rng32):
+    """The raised scoped-VMEM cap (CompilerParams) must admit the D=1024
+    kernel that the 16 MB Mosaic default rejected; pin it against XLA."""
+    from gsmvi_tpu.ops.gsm_eps import apply_eps_step
+    from gsmvi_tpu.ops.pallas.fused_step import (fused_supported,
+                                                 gsm_eps_update_fused)
+
+    b, d = 32, 1024
+    assert fused_supported(b, d)
+    f = (0.1 * rng32.normal(size=(d, d)) + np.eye(d)).astype(np.float32)
+    mu = rng32.normal(size=d).astype(np.float32)
+    eps = rng32.normal(size=(b, d)).astype(np.float32)
+    v = (0.3 * rng32.normal(size=(b, d))).astype(np.float32)
+    m_j, f_j, good_j = apply_eps_step(jnp.asarray(mu), jnp.asarray(f),
+                                      jnp.asarray(eps), jnp.asarray(v),
+                                      jitter=1e-6)
+    m_p, f_p, good_p = gsm_eps_update_fused(jnp.asarray(eps), jnp.asarray(v),
+                                            jnp.asarray(mu), jnp.asarray(f))
+    assert bool(good_j) and bool(good_p)
+    np.testing.assert_allclose(np.asarray(m_p), np.asarray(m_j), atol=1e-4)
+    s_p = np.asarray(f_p) @ np.asarray(f_p).T
+    s_j = np.asarray(f_j) @ np.asarray(f_j).T
+    scale = max(1.0, float(np.abs(s_j).max()))
+    np.testing.assert_allclose(s_p, s_j, atol=1e-4 * scale)
