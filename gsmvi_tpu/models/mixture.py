@@ -32,6 +32,18 @@ def gaussian_mixture(key, d: int, n_components: int = 3,
     t = make_target(log_prob, d, name=f"gmm_d{d}_k{n_components}",
                     mean=mix_mean, cov=mix_cov)
 
+    # In-kernel analytic score for the fully-fused Pallas step: pad K to a
+    # sublane multiple (repeat row 0, masked to zero weight via -1e30 logits)
+    # so the (B, K) tiles stay Mosaic-friendly
+    # (ops/pallas/fused_step.py:mixture_score_kernel).
+    from ..ops.pallas.fused_step import mixture_score_kernel
+    k_pad = max(8, -(-n_components // 8) * 8)
+    means_pad = jnp.concatenate(
+        [means, jnp.broadcast_to(means[:1], (k_pad - n_components, d))])
+    logmask = jnp.where(jnp.arange(k_pad) < n_components, 0.0,
+                        -1e30)[None, :]
+    t.pallas_score = (mixture_score_kernel, (means_pad, logmask))
+
     def sample(key, n):
         kc, kz = jax.random.split(key)
         idx = jax.random.randint(kc, (n,), 0, n_components)

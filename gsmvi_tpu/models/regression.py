@@ -30,4 +30,12 @@ def logistic_regression(key, d: int, n_data: int = 200,
         logprior = -0.5 * jnp.sum((w / prior_scale) ** 2, axis=-1)
         return loglik + logprior
 
-    return make_target(log_prob, d, name=f"logreg_d{d}_n{n_data}")
+    t = make_target(log_prob, d, name=f"logreg_d{d}_n{n_data}")
+
+    # In-kernel analytic score for the fully-fused Pallas step
+    # (ops/pallas/fused_step.py:logreg_score_kernel).
+    from ..ops.pallas.fused_step import logreg_score_kernel
+    t.pallas_score = (logreg_score_kernel,
+                      (x, y.reshape(1, n_data),
+                       jnp.full((1, 1), 1.0 / prior_scale ** 2)))
+    return t

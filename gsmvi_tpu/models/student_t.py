@@ -37,6 +37,13 @@ def student_t(key, d: int, df: float = 5.0, scale: float = 1.0) -> Target:
     t = make_target(log_prob, d, name=f"student_t_d{d}_df{df:g}",
                     mean=loc, cov=df / (df - 2.0) * sigma if df > 2 else None)
 
+    # In-kernel analytic score for the fully-fused Pallas step
+    # (ops/pallas/fused_step.py:student_t_score_kernel).
+    from ..ops.pallas.fused_step import student_t_score_kernel
+    t.pallas_score = (student_t_score_kernel,
+                      (loc.reshape(1, d), prec,
+                       jnp.array([[df, float(d)]], jnp.float32)))
+
     def sample(key, n):
         kz, kg = jax.random.split(key)
         z = jax.random.normal(kz, (n, d)) @ chol.T

@@ -641,3 +641,58 @@ def banana_score_kernel(x, cs):
     g0 = -x0 / (s * s) + 2.0 * curv * x0 * h
     g1 = -h
     return jnp.where(is0, g0, jnp.where(is1, g1, -x))
+
+
+def student_t_score_kernel(x, loc, prec, df_d):
+    """In-kernel analytic score of the multivariate-t (models/student_t.py).
+
+    lp = const - (df+D)/2 log1p(maha/df) with maha = (x-loc) Prec (x-loc):
+      grad = -(df+D)/(df+maha) * Prec (x-loc).
+    ``loc`` is (1, D), ``prec`` (D, D) symmetric, ``df_d`` a (1, 2) array
+    [df, D].  One D x D matmul + a row reduction — MXU-friendly.
+    """
+    df = df_d[0, 0]
+    dd = df_d[0, 1]
+    diff = x - loc
+    pd_ = jnp.dot(diff, prec, preferred_element_type=jnp.float32,
+                  precision=_HI)
+    maha = jnp.sum(pd_ * diff, axis=1, keepdims=True)
+    return -(df + dd) / (df + maha) * pd_
+
+
+def mixture_score_kernel(x, means, logmask):
+    """In-kernel analytic score of the equal-weight identity-cov GMM
+    (models/mixture.py).
+
+    grad = sum_k r_k(x) (m_k - x) with responsibilities
+    r = softmax_k(x . m_k - ||m_k||^2/2)  (the -||x||^2/2 term cancels).
+    ``means`` is (K_pad, D) — K padded to a sublane multiple with repeats —
+    and ``logmask`` (1, K_pad) is 0 for real components, -1e30 for padding
+    (softmax sends them to zero weight).  Two (B, K) matmuls, no gathers.
+    """
+    logits = jax.lax.dot_general(x, means, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32,
+                                 precision=_HI)
+    logits = logits - 0.5 * jnp.sum(means * means, axis=1)[None, :] + logmask
+    m = jnp.max(logits, axis=1, keepdims=True)
+    e = jnp.exp(logits - m)
+    r = e / jnp.sum(e, axis=1, keepdims=True)
+    return jnp.dot(r, means, preferred_element_type=jnp.float32,
+                   precision=_HI) - x
+
+
+def logreg_score_kernel(w, xdata, y_row, inv_ps2):
+    """In-kernel analytic score of the logistic-regression posterior
+    (models/regression.py).
+
+    lp = sum_n [y_n z_n - softplus(z_n)] - ||w||^2/(2 ps^2), z = X w:
+      grad = (y - sigmoid(z)) @ X - w / ps^2.
+    ``xdata`` is (N, D), ``y_row`` (1, N), ``inv_ps2`` (1, 1) = 1/ps^2.
+    Two (B, N) x (N, D) matmuls + elementwise sigmoid.
+    """
+    z = jax.lax.dot_general(w, xdata, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=_HI)
+    resid = y_row - 1.0 / (1.0 + jnp.exp(-z))
+    return jnp.dot(resid, xdata, preferred_element_type=jnp.float32,
+                   precision=_HI) - w * inv_ps2[0, 0]

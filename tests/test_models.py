@@ -114,16 +114,22 @@ def test_gsm_on_student_t_stays_valid():
 
 
 def test_analytic_pallas_scores_match_autodiff(rng):
-    """The in-kernel analytic scores (funnel, banana, gaussian) must equal
-    the autodiff score of the same density."""
+    """Every zoo target's in-kernel analytic score must equal the autodiff
+    score of the same density (the kernels are plain jnp functions, so they
+    are checkable outside Pallas)."""
     import jax.numpy as jnp
 
     from gsmvi_tpu.models import dense_gaussian
     from gsmvi_tpu.models.banana import banana
     from gsmvi_tpu.models.funnel import funnel
+    from gsmvi_tpu.models.mixture import gaussian_mixture
+    from gsmvi_tpu.models.regression import logistic_regression
+    from gsmvi_tpu.models.student_t import student_t
 
     for t in [dense_gaussian(jax.random.PRNGKey(1), 8), funnel(8),
-              banana(8)]:
+              banana(8), student_t(jax.random.PRNGKey(2), 8, df=5.0),
+              gaussian_mixture(jax.random.PRNGKey(3), 8, n_components=3),
+              logistic_regression(jax.random.PRNGKey(4), 8, n_data=40)]:
         assert t.pallas_score is not None, t.name
         score_fn, params = t.pallas_score
         x = jnp.asarray(rng.normal(size=(5, 8)).astype(np.float32))

@@ -35,3 +35,49 @@ def test_fused_output_symmetric(rng):
 def test_supported_gating():
     assert pallas_supported(32, 256)
     assert not pallas_supported(4096, 4096)  # far beyond VMEM
+
+
+@pytest.mark.parametrize("target_kind", ["gaussian", "student_t", "mixture",
+                                         "logreg"])
+def test_fused_whole_step_interpret_matches_jnp(rng, target_kind):
+    """The whole-step kernel (external eps, interpret mode) with each
+    in-kernel zoo score must match the jnp eps path driven by the same
+    score function — sample/score/update/validity all agree on CPU."""
+    import jax
+
+    from gsmvi_tpu.models import dense_gaussian
+    from gsmvi_tpu.models.mixture import gaussian_mixture
+    from gsmvi_tpu.models.regression import logistic_regression
+    from gsmvi_tpu.models.student_t import student_t
+    from gsmvi_tpu.ops.gsm_eps import apply_eps_step
+    from gsmvi_tpu.ops.pallas.fused_step import make_fused_eps_step
+
+    b, d = 8, 16
+    t = {"gaussian": lambda: dense_gaussian(jax.random.PRNGKey(1), d),
+         "student_t": lambda: student_t(jax.random.PRNGKey(2), d, df=6.0),
+         "mixture": lambda: gaussian_mixture(jax.random.PRNGKey(3), d),
+         "logreg": lambda: logistic_regression(jax.random.PRNGKey(4), d,
+                                               n_data=24)}[target_kind]()
+    score_fn, params = t.pallas_score
+    params = [jnp.asarray(p, jnp.float32) for p in params]
+
+    mu = jnp.asarray(rng.normal(size=d).astype(np.float32))
+    f = jnp.asarray((0.3 * rng.normal(size=(d, d))
+                     + np.eye(d)).astype(np.float32))
+    eps = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32))
+
+    step = make_fused_eps_step(score_fn, len(params), b, d,
+                               external_eps=True, interpret=True)
+    m_p, f_p, good_p = step(eps, mu, f, *params)
+
+    x = mu + eps @ f.T
+    vs = score_fn(x, *params)
+    m_j, f_j, good_j = apply_eps_step(mu, f, eps, vs)
+
+    assert bool(good_p) == bool(good_j)
+    np.testing.assert_allclose(np.asarray(m_p), np.asarray(m_j),
+                               rtol=1e-4, atol=1e-4)
+    s_p = np.asarray(f_p) @ np.asarray(f_p).T
+    s_j = np.asarray(f_j) @ np.asarray(f_j).T
+    scale = max(1.0, float(np.abs(s_j).max()))
+    np.testing.assert_allclose(s_p, s_j, atol=2e-4 * scale)
