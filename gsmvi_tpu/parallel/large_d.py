@@ -12,10 +12,13 @@ is O(D²), solves O(D³)).  This module provides the GSPMD route:
   step so XLA partitions the Gram/score matmuls into per-chip panels with
   collectives over ICI.
 
-The Cholesky factorization is still a single-matrix op that XLA gathers for
-(distributed Cholesky is future work); for D ~ a few thousand the gather is a
-small fraction of step time and HBM per chip drops from O(D²) matmul
-intermediates to O(D²/n_model) panels.
+With ``GSM(..., chol_block=)`` the validity/sampling factorization runs as
+the blocked right-looking Cholesky (``parallel/chol.py``) whose O(D³) work is
+ordinary rank-b GEMMs GSPMD keeps partitioned — no per-step all-gather of Σ.
+Measured per-device memory (8-way model mesh, D=2048, f32, CPU-mesh compile):
+state 32 → 4 MB, peak temps 32.3 → 9.4 MB vs the replicated compile; a
+gathered Σ would show a ≥16 MB temp (pinned by
+``tests/test_sharding.py::test_sharded_step_memory_stays_partitioned``).
 """
 
 from __future__ import annotations

@@ -178,3 +178,50 @@ def test_2d_mesh_factor_gsm_cov_sharded(eight_devices, target):
     m2, c2 = fg.fit(jax.random.PRNGKey(9), **kw)
     np.testing.assert_allclose(np.asarray(m2), np.asarray(m1), atol=1e-8)
     np.testing.assert_allclose(np.asarray(c2), np.asarray(c1), atol=1e-8)
+
+
+def test_sharded_step_memory_stays_partitioned(eight_devices):
+    """Per-device memory evidence for the large-D path: with a model-sharded
+    covariance and the blocked Cholesky, the compiled step's per-device
+    state is ~1/n_model of the replicated compile and NO full-matrix
+    all-gather materializes (a gathered D x D f32 temp would be >= d*d*4
+    bytes; the largest sharded temp must stay well under that)."""
+    import jax.numpy as jnp
+
+    from gsmvi_tpu import GSM
+    from gsmvi_tpu.parallel import cov_sharding, make_mesh_2d
+    from gsmvi_tpu.state import init_state
+
+    d, b = 1024, 16
+    lp = lambda x: -0.5 * jnp.sum(x * x, axis=-1)
+    lp_g = lambda x: -x
+    mesh = make_mesh_2d(1, 8)
+    sh = cov_sharding(mesh)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from gsmvi_tpu.state import VIState
+
+    rep = NamedSharding(mesh, P())
+    stats = {}
+    for name, kw, cov_s in [
+            ("sharded", dict(mesh=mesh, cov_sharding=sh, chol_block=128), sh),
+            ("replicated", {}, rep)]:
+        gsm = GSM(D=d, lp=lp, lp_g=lp_g, **kw)
+        state = init_state(jax.random.PRNGKey(1), d)
+        # In the fit loop the step is a scan carry: output shardings feed
+        # back as input shardings, so pin both to the steady-state layout.
+        state_sh = VIState(rep, cov_s, cov_s, rep, rep, rep, rep)
+        c = jax.jit(gsm._make_step(b), in_shardings=(state_sh,),
+                    out_shardings=state_sh).lower(state).compile()
+        stats[name] = c.memory_analysis()
+
+    # conftest enables x64, so state buffers are 8-byte under the suite.
+    full_mat = d * d * init_state(jax.random.PRNGKey(0), 4).cov.dtype.itemsize
+    # state (mean + cov + chol) per device: ~2 full mats replicated, ~2/8
+    # sharded (mean and scalars are O(D)).
+    assert stats["replicated"].argument_size_in_bytes > 2 * full_mat
+    assert stats["sharded"].argument_size_in_bytes < 0.35 * full_mat
+    assert stats["sharded"].output_size_in_bytes < 0.35 * full_mat
+    # no gather: every sharded temp fits well under one full D x D matrix.
+    assert stats["sharded"].temp_size_in_bytes < 0.8 * full_mat
