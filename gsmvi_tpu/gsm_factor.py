@@ -59,7 +59,7 @@ class FactorGSM:
                  dtype=None, refresh_every: int = 1000,
                  method: str = "eps", use_pallas: "bool | str" = "auto",
                  pallas_score=None, steps_per_call: int = 4,
-                 cov_sharding=None):
+                 cov_sharding=None, pallas_precision: str = "highest"):
         """``method``:
         - "eps" (default): eps-coordinate update (ops/gsm_eps.py) — the
           state is (mean, F) only; no maintained inverse, no QR, no eigh;
@@ -76,6 +76,14 @@ class FactorGSM:
         select fuse (``gsm_eps_update_fused``).  NOTE the one-kernel path
         uses the TPU hardware PRNG (Box-Muller), a different stream than
         jax.random — same distribution, different trajectory.
+
+        ``pallas_precision`` ("highest" default | "bf16") sets the MXU pass
+        count for the O(B D^2) matmuls inside the fused kernels: "bf16"
+        (1-pass, f32 accumulation) trades matmul FLOP-time for precision on
+        the FLOP-dominant large-D path; the (B, B) small-space numerics and
+        their PD gates always run at HIGHEST.  Measure convergence before
+        adopting "bf16" — covariance accuracy saturates at the bf16
+        product-rounding floor (see docs/BENCHMARKS.md).
         """
         self.D = D
         self.lp = lp
@@ -92,6 +100,13 @@ class FactorGSM:
         # kernel), so amortizing it across steps_per_call iterations is the
         # single largest throughput lever.
         self.steps_per_call = steps_per_call
+        # Mosaic lowers only DEFAULT (1-pass bf16, f32 accumulate) and
+        # HIGHEST (full f32) dot precisions — Precision.HIGH has no TPU
+        # kernel lowering.
+        self.pallas_precision = {
+            "highest": jax.lax.Precision.HIGHEST,
+            "bf16": jax.lax.Precision.DEFAULT,
+        }[pallas_precision]
         # Optional NamedSharding splitting the (D, D) factor over a model
         # axis: the LARGE-D scaling path.  Unlike the dense fitter — whose
         # per-step D x D Cholesky XLA must gather — the eps step is pure
@@ -131,7 +146,8 @@ class FactorGSM:
         score_fn, params = self.pallas_score
         spc = self.steps_per_call
         multi = make_fused_eps_multistep(score_fn, len(params), batch_size,
-                                         self.D, spc)
+                                         self.D, spc,
+                                         big_prec=self.pallas_precision)
         single_step = self._make_step(batch_size)
 
         @partial(jax.jit, static_argnums=1)
@@ -174,7 +190,8 @@ class FactorGSM:
 
         if mode == "step":
             score_fn, params = self.pallas_score
-            fused = make_fused_eps_step(score_fn, len(params), batch_size, d)
+            fused = make_fused_eps_step(score_fn, len(params), batch_size, d,
+                                        big_prec=self.pallas_precision)
 
             def step(state: FactorVIState) -> FactorVIState:
                 # Per-step seed: fit-key data mixed with the step counter

@@ -165,7 +165,8 @@ def _newton_inv(a, iters: int):
 
 
 def _eps_smallspace_ns(e, v, vf, mu, f, *, batch: int, tol: float = 3e-3,
-                       iters=(8, 6, 8, 10, 6), skip_small: bool = False):
+                       iters=(8, 6, 8, 10, 6), skip_small: bool = False,
+                       big_prec=None):
     """Loop-free small-space core: two-phase (PSD update then PSD downdate)
     factorization of M = I + (eps^T eps - C^T C)/B with matmul-only
     Newton-Schulz/Newton-Hotelling small solves.
@@ -178,24 +179,29 @@ def _eps_smallspace_ns(e, v, vf, mu, f, *, batch: int, tol: float = 3e-3,
         cu  = (I + S1)^{-1},        S1 = sqrt(I + Gu)
         cui = (I + S1 + Gu)^{-1}                       (= W1^{-1} coefficient)
         cv  = -(I + S2)^{-1},       S2 = sqrt(I - Gv)
+
+    ``big_prec`` (default HIGHEST) relaxes ONLY the O(B D^2) matmuls (the
+    FLOP-dominant ones at large D); the (B, B) small-space numerics — whose
+    accuracy the PD gates depend on — always run at HIGHEST.
     """
     b = batch
+    bp = _HI if big_prec is None else big_prec
 
     def mm(x, y):
         return jnp.dot(x, y, preferred_element_type=jnp.float32, precision=_HI)
 
-    def mm_t(x, y):
+    def mm_t(x, y, prec=_HI):
         return jax.lax.dot_general(x, y, (((1,), (1,)), ((), ())),
                                    preferred_element_type=jnp.float32,
-                                   precision=_HI)
+                                   precision=prec)
 
-    def t_mm(x, y):
+    def t_mm(x, y, prec=_HI):
         return jax.lax.dot_general(x, y, (((0,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32,
-                                   precision=_HI)
+                                   precision=prec)
 
-    a = -mm_t(e, f)                                        # (B, D) rows mu - x
-    t = mm_t(vf, f)
+    a = -mm_t(e, f, bp)                                    # (B, D) rows mu - x
+    t = mm_t(vf, f, bp)
     vsv = jnp.sum(v * t, axis=1, keepdims=True)
     mv = jnp.sum(a * v, axis=1, keepdims=True)
     rho = 0.5 * (jnp.sqrt(1.0 + 4.0 * (vsv + mv * mv)) - 1.0)
@@ -243,9 +249,9 @@ def _eps_smallspace_ns(e, v, vf, mu, f, *, batch: int, tol: float = 3e-3,
 
     # F' = F W1 W2 = (F + (F Zu)(cu Zu^T)) (I + Xi~ cv Xi~^T)
     fzu_t = a * (-zc_scale)                                # (B, D) = (F Zu)^T
-    fw1 = f + t_mm(fzu_t, mm(cu, e) * zc_scale)            # F + F Zu cu Zu^T
-    fw1xi_t = mm_t(xim_t, fw1)                             # (B, D) = (Fw1 Xi~)^T
-    f_new = fw1 + t_mm(fw1xi_t, mm(cv, xim_t))
+    fw1 = f + t_mm(fzu_t, mm(cu, e) * zc_scale, bp)        # F + F Zu cu Zu^T
+    fw1xi_t = mm_t(xim_t, fw1, bp)                         # (B, D) = (Fw1 Xi~)^T
+    f_new = fw1 + t_mm(fw1xi_t, mm(cv, xim_t), bp)
     return mu + dmu, f_new, good
     """Shared kernel body: eps-coordinate update math on VMEM values.
 
@@ -422,7 +428,8 @@ def _boxmuller(shape):
 
 def make_fused_eps_step(score_fn, n_params: int, batch: int, d: int,
                         jitter: float = 1e-6, external_eps: bool = False,
-                        interpret: bool = False, method: str = "ns"):
+                        interpret: bool = False, method: str = "ns",
+                        big_prec=None):
     """Build the ONE-kernel GSM step for a Pallas-traceable score.
 
     ``score_fn(x, *params) -> (B, D)`` is traced into the kernel (element-wise
@@ -443,6 +450,7 @@ def make_fused_eps_step(score_fn, n_params: int, batch: int, d: int,
     if not _HAS_PLTPU:
         raise RuntimeError("fused whole-step kernel requires TPU pallas")
     k2 = 2 * batch
+    bp = _HI if big_prec is None else big_prec
 
     def kernel(first_ref, mu_ref, f_ref, *rest):
         params_refs = rest[:n_params]
@@ -456,13 +464,14 @@ def make_fused_eps_step(score_fn, n_params: int, batch: int, d: int,
         f = f_ref[:]
         x = mu + jax.lax.dot_general(e, f, (((1,), (1,)), ((), ())),
                                      preferred_element_type=jnp.float32,
-                                     precision=_HI)
+                                     precision=bp)
         v = score_fn(x, *[p[:] for p in params_refs])
         if method == "ns":
             vf = jnp.dot(v, f, preferred_element_type=jnp.float32,
-                         precision=_HI)
+                         precision=bp)
             mu_new, f_new, good = _eps_smallspace_ns(e, v, vf, mu, f,
-                                                     batch=batch)
+                                                     batch=batch,
+                                                     big_prec=bp)
             mu_out[:] = jnp.where(good, mu_new, mu)
             f_out[:] = jnp.where(good, f_new, f)
             good_out[0, 0] = good.astype(jnp.int32)
@@ -516,7 +525,8 @@ _WEYL = -1640531527  # golden-ratio increment for per-step seed mixing
 def make_fused_eps_multistep(score_fn, n_params: int, batch: int, d: int,
                              steps_per_call: int, method: str = "ns",
                              iters=(8, 6, 8, 10, 6),
-                             skip_small: bool = False):
+                             skip_small: bool = False,
+                             big_prec=None):
     """SPC GSM iterations per kernel invocation — the dispatch amortizer.
 
     Measured on v5e: a Pallas kernel invocation inside a scan costs ~25us of
@@ -535,6 +545,7 @@ def make_fused_eps_multistep(score_fn, n_params: int, batch: int, d: int,
         raise RuntimeError("fused multi-step kernel requires TPU pallas")
     if method != "ns":
         raise ValueError("multi-step kernel supports method='ns' only")
+    bp = _HI if big_prec is None else big_prec
 
     def kernel(kd_ref, step0_ref, mu_ref, f_ref, *rest):
         params = [p[:] for p in rest[:n_params]]
@@ -546,13 +557,13 @@ def make_fused_eps_multistep(score_fn, n_params: int, batch: int, d: int,
             e = _boxmuller((batch, d))
             x = mu + jax.lax.dot_general(e, f, (((1,), (1,)), ((), ())),
                                          preferred_element_type=jnp.float32,
-                                         precision=_HI)
+                                         precision=bp)
             v = score_fn(x, *params)
             vf = jnp.dot(v, f, preferred_element_type=jnp.float32,
-                         precision=_HI)
+                         precision=bp)
             mu_new, f_new, good = _eps_smallspace_ns(
                 e, v, vf, mu, f, batch=batch, iters=iters,
-                skip_small=skip_small)
+                skip_small=skip_small, big_prec=bp)
             mu = jnp.where(good, mu_new, mu)
             f = jnp.where(good, f_new, f)
             return (mu, f, acc + good.astype(jnp.int32))
