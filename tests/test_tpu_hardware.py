@@ -147,3 +147,22 @@ def test_fused_update_matches_jnp_on_tpu_d1024(rng32):
     s_j = np.asarray(f_j) @ np.asarray(f_j).T
     scale = max(1.0, float(np.abs(s_j).max()))
     np.testing.assert_allclose(s_p, s_j, atol=1e-4 * scale)
+
+
+def test_fused_zoo_scores_run_on_hardware():
+    """The non-Gaussian in-kernel scores (student-t here as representative —
+    matmul + row reduction + rational elementwise) must Mosaic-compile and
+    converge through the one-kernel fused fit on a real chip."""
+    from gsmvi_tpu import FactorGSM
+    from gsmvi_tpu.models import student_t
+
+    d, b = 256, 32
+    t = student_t(jax.random.PRNGKey(2), d, df=6.0)
+    fg = FactorGSM(D=d, lp=t.lp, lp_g=t.lp_g, pallas_score=t.pallas_score)
+    assert fg._pallas_mode(b) == "step"
+    mean, cov = fg.fit(jax.random.PRNGKey(0), niter=3000, batch_size=b,
+                       verbose=False)
+    m = np.asarray(mean)
+    assert np.all(np.isfinite(m))
+    assert np.all(np.linalg.eigvalsh(np.asarray(cov)) > 0)
+    np.testing.assert_allclose(m, np.asarray(t.mean), atol=0.05)
