@@ -165,7 +165,7 @@ class ADVI:
             (batch_size,), (opt,),
             lambda: make_chunk_runner(step, collect_aux=True))
         state, losses = run_fit_loop(
-            step,
+            None,  # cached run_chunk carries the body
             state,
             niter,
             monitor=monitor,

@@ -186,7 +186,7 @@ class BaM:
         if not traceable and verbose:
             print("lp_g is not jax-traceable or jit_compile=False; using the eager host loop")
         state = run_fit_loop(
-            self._make_step(batch_size, regf, retries, jitter),
+            None,  # cached run_chunk / eager_step below carries the body
             state,
             niter,
             monitor=monitor,

@@ -11,7 +11,9 @@ Differences, all TPU-motivated:
   D x D Cholesky probe;
 - full-rank and low-rank coincide (U is exactly rank B+1), so there is no
   ``use_lowrank`` switch — this path IS the exact low-rank algebra;
-- jitter lands inside the small-space factorizations.
+- no jitter is needed: the proposal is PD by construction and the exact
+  PD flag only screens numerical loss (``fit`` still accepts ``jitter=``
+  for BaM surface parity; it is inert on this route).
 
 Use ``BaM`` when you need the dense-state path (e.g. cov-sharded large-D) or
 eager numpy callables; use this for throughput.
@@ -32,7 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from .distributions import safe_cholesky
-from .driver import RunnerCache, is_traceable, make_chunk_runner, on_tpu, \
+from .driver import RunnerCache, is_traceable, make_chunk_runner, \
     run_fit_loop
 from .gsm_factor import FactorVIState
 from .ops.bam_eps import bam_eps_update
@@ -44,19 +46,13 @@ class FactorBaM:
     """Fit a dense-covariance Gaussian by BaM updates on factor state."""
 
     def __init__(self, D, lp, lp_g, mesh=None, data_axis: str = "data",
-                 dtype=None, sqrt_method: str = "auto", solver: str = "svd"):
+                 dtype=None, solver: str = "svd"):
         self.D = D
         self.lp = lp
         self.lp_g = lp_g
         self.mesh = mesh
         self.data_axis = data_axis
         self.dtype = dtype or jnp.zeros(0).dtype
-        if sqrt_method == "auto":
-            # The sqrt here is (B+1)-sized, where eigh is affordable — but
-            # Newton-Schulz stays the default on TPU for op-shape reasons
-            # (matmuls only), with robustness from the PD select.
-            sqrt_method = "newton" if on_tpu() else "eigh"
-        self.sqrt_method = sqrt_method
         # "svd" (default) resolves the small-space spectrum at kappa(Y)
         # accuracy — required for stiff targets at f32 (ops/bam_eps.py
         # docstring); "eigh" is ~70 us/step cheaper on v5e but squares the
@@ -64,11 +60,10 @@ class FactorBaM:
         self.solver = solver
         self._runners = RunnerCache()
 
-    def _make_step(self, batch_size: int, regf, retries: int, jitter):
+    def _make_step(self, batch_size: int, regf, retries: int):
         lp_g = self.lp_g
         d = self.D
         dtype = self.dtype
-        sqrt_method = self.sqrt_method
         solver = self.solver
         sharding = (data_sharding(self.mesh, self.data_axis)
                     if self.mesh is not None else None)
@@ -83,8 +78,7 @@ class FactorBaM:
                 vs = lp_g(samples)
                 reg = jnp.asarray(regf(state.step), dtype)
                 mean_new, f_new, good = bam_eps_update(
-                    eps, vs, state.mean, state.factor, reg, jitter,
-                    sqrt_method, solver=solver)
+                    eps, vs, state.mean, state.factor, reg, solver=solver)
                 return key, mean_new, f_new, good
 
         def step(state: FactorVIState) -> FactorVIState:
@@ -119,7 +113,9 @@ class FactorBaM:
             nprint=10, verbose=True, check_goodness=True, monitor=None,
             retries=10, jitter=None, return_state=False, state=None):
         """Signature parity with ``BaM.fit`` (reference ``gsmvi/bam.py:140``);
-        ``regf`` must be a pure function of the iteration index."""
+        ``regf`` must be a pure function of the iteration index.  ``jitter``
+        is accepted for surface parity but inert: the factor route's
+        proposal is PD by construction (ops/bam_eps.py)."""
         dtype = self.dtype
         if state is None:
             mean0 = (jnp.zeros(self.D, dtype) if mean is None
@@ -134,11 +130,11 @@ class FactorBaM:
             raise TypeError("FactorBaM requires a jax-traceable lp_g; "
                             "use BaM for plain-numpy score functions")
         run_chunk = self._runners.get(
-            (batch_size, retries, jitter), (regf,),
+            (batch_size, retries), (regf,),
             lambda: make_chunk_runner(
-                self._make_step(batch_size, regf, retries, jitter)))
+                self._make_step(batch_size, regf, retries)))
         state = run_fit_loop(
-            self._make_step(batch_size, regf, retries, jitter),
+            None,  # cached run_chunk carries the body
             state,
             niter,
             monitor=monitor,

@@ -98,6 +98,19 @@ def make_chunk_runner(step: Callable, collect_aux: bool = False) -> Callable:
     return run_chunk
 
 
+def _monitor_key(key, i: int):
+    """Key handed to the monitor at checkpoint ``i``: the state key remixed
+    with the iteration index.  On the fused-Pallas path the state key is the
+    (deliberately constant) seed BASE — the in-kernel PRNG stream position is
+    the step counter — so passing it raw would hand every checkpoint
+    identical Monte-Carlo draws; folding in ``i`` keeps checkpoint draws
+    independent on every path without touching any fit trajectory."""
+    try:
+        return jax.random.fold_in(key, i)
+    except Exception:  # non-key (e.g. int) — monitor coerces it itself
+        return key
+
+
 def _next_event(i: int, total: int, cadences) -> int:
     """First iteration > i that is a multiple of any cadence (or ``total``)."""
     nxt = total
@@ -108,7 +121,7 @@ def _next_event(i: int, total: int, cadences) -> int:
 
 
 def run_fit_loop(
-    step: Callable,
+    step: Optional[Callable],
     state,
     niter: int,
     *,
@@ -126,7 +139,10 @@ def run_fit_loop(
     """Run ``niter + 1`` update steps (reference iterates ``range(niter + 1)``,
     ``gsmvi/gsm.py:107``) with reference-parity monitor/print semantics.
 
-    step           — pure (state) -> state, jax-traceable.
+    step           — pure (state) -> state, jax-traceable; may be None when
+                     ``run_chunk`` (scan path) or ``eager_step`` (host path)
+                     is supplied — fitters with cached runners pass None so
+                     no dead step closure is built per ``fit`` call.
     monitor        — optional callable with the reference hook protocol
                      ``monitor(i, params, lp, key, nevals=...)`` honored at
                      ``monitor.checkpoint`` cadence (``gsmvi/gsm.py:111-113``).
@@ -150,11 +166,15 @@ def run_fit_loop(
 
     if use_scan:
         if run_chunk is None:
+            if step is None:
+                raise ValueError("run_fit_loop needs step or run_chunk")
             run_chunk = make_chunk_runner(step, collect_aux=collect_aux)
     else:
         if collect_aux:
             raise ValueError("collect_aux requires the compiled scan path")
         step_fn = eager_step if eager_step is not None else step
+        if step_fn is None:
+            raise ValueError("run_fit_loop needs step or eager_step")
 
         def run_chunk(s, k):
             for _ in range(k):
@@ -173,7 +193,8 @@ def run_fit_loop(
         if print_every and i % print_every == 0:
             print(f"Iteration {i} of {niter}")
         if monitor is not None and checkpoint and i % checkpoint == 0:
-            monitor(i, monitor_params(state), lp, state.key, nevals=nevals)
+            monitor(i, monitor_params(state), lp, _monitor_key(state.key, i),
+                    nevals=nevals)
             nevals = 0
         k = _next_event(i, total, cadences) - i
         if collect_aux:
@@ -186,7 +207,8 @@ def run_fit_loop(
     if monitor is not None:
         # Reference issues one extra monitor call after the loop with i=niter
         # (``gsmvi/gsm.py:131-132``).
-        monitor(niter, monitor_params(state), lp, state.key, nevals=nevals)
+        monitor(niter, monitor_params(state), lp,
+                _monitor_key(state.key, niter), nevals=nevals)
     if collect_aux:
         aux = jax.tree_util.tree_map(
             lambda *xs: jax.numpy.concatenate(xs, axis=0), *aux_chunks)

@@ -98,7 +98,7 @@ class GSM:
                 and pallas_supported(batch_size, self.D))
 
     # -- compiled step ------------------------------------------------------
-    def _make_step(self, batch_size: int):
+    def _make_step(self, batch_size: int, allow_pallas: bool = True):
         lp_g = self.lp_g
         d = self.D
         dtype = self.dtype
@@ -106,7 +106,7 @@ class GSM:
             data_sharding(self.mesh, self.data_axis) if self.mesh is not None else None
         )
 
-        use_pallas = self._pallas_enabled(batch_size)
+        use_pallas = allow_pallas and self._pallas_enabled(batch_size)
         cov_sh = self.cov_sharding
 
         def step(state: VIState) -> VIState:
@@ -182,7 +182,7 @@ class GSM:
         if not traceable and verbose:
             print("lp_g is not jax-traceable; using the eager host loop")
         state = run_fit_loop(
-            self._make_step(batch_size),
+            None,  # cached run_chunk / eager_step below carries the body
             state,
             niter,
             monitor=monitor,
@@ -231,7 +231,10 @@ class GSM:
             return init_state(key, d, m, c, dtype)
 
         state = jax.vmap(init_one)(keys, means0, covs0)
-        step = jax.vmap(self._make_step(batch_size))
+        # Replica fits vmap the step; vmap-of-pallas_call (SMEM scalars +
+        # in-kernel PRNG) has no supported batching rule, so force the
+        # XLA step here.
+        step = jax.vmap(self._make_step(batch_size, allow_pallas=False))
 
         @jax.jit
         def run(s):

@@ -175,7 +175,7 @@ class FactorGSM:
 
         return run_chunk
 
-    def _make_step(self, batch_size: int):
+    def _make_step(self, batch_size: int, allow_pallas: bool = True):
         lp_g = self.lp_g
         d = self.D
         dtype = self.dtype
@@ -185,7 +185,7 @@ class FactorGSM:
             data_sharding(self.mesh, self.data_axis)
             if self.mesh is not None else None
         )
-        mode = self._pallas_mode(batch_size)
+        mode = self._pallas_mode(batch_size) if allow_pallas else None
         cov_sh = self.cov_sharding
 
         if mode == "step":
@@ -195,7 +195,12 @@ class FactorGSM:
 
             def step(state: FactorVIState) -> FactorVIState:
                 # Per-step seed: fit-key data mixed with the step counter
-                # (Weyl increment) — deterministic given fit(key).
+                # (Weyl increment) — deterministic given fit(key).  The key
+                # field deliberately stays CONSTANT on this path: it is the
+                # seed base and state.step the stream position, which keeps
+                # the trajectory invariant to chunk/monitor cadence and makes
+                # checkpoint-resume exact; monitors get a per-checkpoint
+                # fold_in of it from the driver (driver._monitor_key).
                 key = state.key
                 if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
                     kd = jax.random.key_data(key).ravel()
@@ -303,7 +308,7 @@ class FactorGSM:
                 "FactorGSM requires a jax-traceable lp_g; use GSM for "
                 "plain-numpy score functions")
         state = run_fit_loop(
-            self._make_step(batch_size),
+            None,  # cached run_chunk / eager_step below carries the body
             state,
             niter,
             monitor=monitor,
@@ -347,7 +352,10 @@ class FactorGSM:
             return FactorVIState(m, f0, finv0, kk, zero, zero, zero)
 
         state = jax.vmap(init_one)(keys, means0, covs0)
-        step = jax.vmap(self._make_step(batch_size))
+        # Replica fits vmap the step; vmap-of-pallas_call (SMEM scalars +
+        # in-kernel PRNG) has no supported batching rule, so force the
+        # XLA step here.
+        step = jax.vmap(self._make_step(batch_size, allow_pallas=False))
 
         @jax.jit
         def run(s):

@@ -47,12 +47,10 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .gsm_eps import _default_jitter
 from .gsm_factor import _update_corr
 
 
-def bam_eps_update(eps, vs, mean, f, reg, jitter=None,
-                   sqrt_method: str = "eigh", newton_iters: int = 20,
+def bam_eps_update(eps, vs, mean, f, reg, newton_iters: int = 20,
                    solver: str = "svd"):
     """One factor-coordinate BaM step.
 
@@ -84,8 +82,6 @@ def bam_eps_update(eps, vs, mean, f, reg, jitter=None,
     b, d = eps.shape
     with jax.default_matmul_precision("float32"):
         dtype = f.dtype
-        if jitter is None:
-            jitter = _default_jitter(dtype)
         r1 = reg / (1.0 + reg)
         epsbar = jnp.mean(eps, axis=0)
         gbar = jnp.mean(vs, axis=0)
@@ -183,15 +179,15 @@ def bam_eps_update(eps, vs, mean, f, reg, jitter=None,
         return mean_new, f_new, good
 
 
-def apply_bam_eps_step(state_mean, state_f, eps, vs, reg, jitter=None,
-                       sqrt_method: str = "eigh", newton_iters: int = 20,
-                       solver: str = "svd"):
+def apply_bam_eps_step(state_mean, state_f, eps, vs, reg,
+                       newton_iters: int = 20, solver: str = "svd"):
     """Proposal + select: keeps the old (mean, F) when the proposal fails
     its exact PD check (replaces the reference's host jitter/retry loop,
-    ``gsmvi/bam.py:188-206``, for the non-retry path)."""
+    ``gsmvi/bam.py:188-206``, for the non-retry path).  No jitter parameter:
+    this route's proposal is PD by construction, so there is nothing to
+    regularize — the PD flag only screens numerical loss."""
     mean_new, f_new, good = bam_eps_update(eps, vs, state_mean, state_f, reg,
-                                           jitter, sqrt_method, newton_iters,
-                                           solver)
+                                           newton_iters, solver)
     mean = jnp.where(good, mean_new, state_mean)
     f = jnp.where(good, f_new, state_f)
     return mean, f, good

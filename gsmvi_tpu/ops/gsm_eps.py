@@ -120,9 +120,10 @@ def eps_core(zt, n_plus: int, jitter=None):
 
 
 def _chol_pd(k):
-    """(chol(k), pd_flag): the factor is finite iff k is PD; additionally
-    guard the diagonal so near-singular positive matrices count as good only
-    when the factor is well-formed."""
+    """(chol(k), pd_flag): good iff every factor entry is finite —
+    jnp.linalg.cholesky yields NaN rows from the first non-PD pivot on, so
+    all-finite is exactly the PD criterion (up to fp roundoff at the
+    boundary, covered by the caller's jitter)."""
     ck = jnp.linalg.cholesky(k)
     good = jnp.all(jnp.isfinite(ck))
     return ck, good

@@ -253,6 +253,10 @@ def _eps_smallspace_ns(e, v, vf, mu, f, *, batch: int, tol: float = 3e-3,
     fw1xi_t = mm_t(xim_t, fw1, bp)                         # (B, D) = (Fw1 Xi~)^T
     f_new = fw1 + t_mm(fw1xi_t, mm(cv, xim_t), bp)
     return mu + dmu, f_new, good
+
+
+def _eps_update_core(e, v, mu, f, *, batch: int, jitter: float,
+                     w_scratch, l_scratch, n_scratch):
     """Shared kernel body: eps-coordinate update math on VMEM values.
 
     Returns (mu_new (1,D), f_new (D,D), good (bool scalar)).  Mirrors

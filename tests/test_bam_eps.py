@@ -28,11 +28,9 @@ def test_matches_dense_bam_f64(rng, b, d, reg):
     s0 = f @ f.T
 
     m_full, s_full = bam_update(jnp.asarray(x), jnp.asarray(v),
-                                jnp.asarray(mu), jnp.asarray(s0), reg,
-                                jitter=0.0)
+                                jnp.asarray(mu), jnp.asarray(s0), reg)
     m_e, f_e, good = bam_eps_update(jnp.asarray(eps), jnp.asarray(v),
-                                    jnp.asarray(mu), jnp.asarray(f), reg,
-                                    jitter=1e-13)
+                                    jnp.asarray(mu), jnp.asarray(f), reg)
     assert bool(good)
     scale = max(1.0, float(np.abs(np.asarray(s_full)).max()))
     np.testing.assert_allclose(np.asarray(m_e), np.asarray(m_full),
@@ -51,7 +49,7 @@ def test_f32_accuracy(rng):
     s0 = f @ f.T
     m_full, s_full = bam_update(jnp.asarray(x), jnp.asarray(v),
                                 jnp.asarray(mu), jnp.asarray(s0),
-                                np.float32(reg), jitter=0.0)
+                                np.float32(reg))
     m_e, f_e, good = bam_eps_update(jnp.asarray(eps), jnp.asarray(v),
                                     jnp.asarray(mu), jnp.asarray(f),
                                     np.float32(reg))
@@ -77,7 +75,7 @@ def test_f32_svd_solver_stiff_regime(rng):
 
     m64, f64_, good64 = bam_eps_update(
         jnp.asarray(eps), jnp.asarray(v), jnp.asarray(mu), jnp.asarray(f),
-        reg, jitter=0.0)
+        reg)
     assert bool(good64)
     s64 = np.asarray(f64_ @ f64_.T, np.float64)
 
@@ -123,7 +121,7 @@ def test_fitter_matches_dense_bam_trajectory():
         jitter=0.0, **kw)
     m2, c2 = FactorBaM(D=t.d, lp=t.lp, lp_g=t.lp_g).fit(
         jax.random.PRNGKey(5), regf=Regularizers().constant(10.0),
-        jitter=1e-13, **kw)
+        **kw)
     np.testing.assert_allclose(np.asarray(m2), np.asarray(m1), atol=1e-8)
     np.testing.assert_allclose(np.asarray(c2), np.asarray(c1), atol=1e-8)
 

@@ -74,3 +74,42 @@ def test_is_traceable():
     probe = jax.ShapeDtypeStruct((2, 3), jnp.float32)
     assert is_traceable(lambda x: x * 2, probe)
     assert not is_traceable(lambda x: np.linalg.cholesky(np.asarray(x)), probe)
+
+
+def test_monitor_keys_differ_per_checkpoint_even_with_constant_state_key():
+    """The fused-Pallas path keeps state.key constant (seed base + step
+    counter design); the driver must still hand each monitor checkpoint an
+    independent key (regression: identical keys gave correlated KL draws)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gsmvi_tpu.driver import run_fit_loop
+
+    def step(state):  # never advances the key, like the fused kernel path
+        return state._replace(step=state.step + 1)
+
+    import typing
+
+    class S(typing.NamedTuple):
+        key: jax.Array
+        step: jax.Array
+
+    seen = []
+
+    class Mon:
+        checkpoint = 5
+
+        def __call__(self, i, params, lp, key, nevals=0):
+            seen.append(np.asarray(jax.random.key_data(key)).copy()
+                        if jnp.issubdtype(key.dtype, jax.dtypes.prng_key)
+                        else np.asarray(key).copy())
+
+    s0 = S(jax.random.PRNGKey(7), jnp.zeros((), jnp.int32))
+    # niter NOT a checkpoint multiple: the protocol's extra final call at
+    # i=niter must not collide with an in-loop checkpoint index.
+    run_fit_loop(step, s0, 23, monitor=Mon(), verbose=False,
+                 monitor_params=lambda s: [s.step])
+    assert len(seen) >= 4
+    uniq = {tuple(k.ravel().tolist()) for k in seen}
+    assert len(uniq) == len(seen), "monitor received duplicate PRNG keys"

@@ -81,3 +81,28 @@ def test_fused_whole_step_interpret_matches_jnp(rng, target_kind):
     s_j = np.asarray(f_j) @ np.asarray(f_j).T
     scale = max(1.0, float(np.abs(s_j).max()))
     np.testing.assert_allclose(s_p, s_j, atol=2e-4 * scale)
+
+
+def test_fused_update_chol_method_matches_jnp(rng):
+    """method="chol" (in-kernel Cholesky sweeps, exact PD check) must match
+    the jnp eps path — regression for the stranded-def bug that made this
+    path raise NameError."""
+    from gsmvi_tpu.ops.gsm_eps import apply_eps_step
+    from gsmvi_tpu.ops.pallas.fused_step import gsm_eps_update_fused
+
+    b, d = 8, 32
+    f = jnp.asarray((0.3 * rng.normal(size=(d, d))
+                     + np.eye(d)).astype(np.float32))
+    mu = jnp.asarray(rng.normal(size=d).astype(np.float32))
+    eps = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32))
+    v = jnp.asarray((0.3 * rng.normal(size=(b, d))).astype(np.float32))
+
+    m_j, f_j, good_j = apply_eps_step(mu, f, eps, v, jitter=1e-6)
+    m_p, f_p, good_p = gsm_eps_update_fused(eps, v, mu, f, jitter=1e-6,
+                                            interpret=True, method="chol")
+    assert bool(good_p) == bool(good_j)
+    np.testing.assert_allclose(np.asarray(m_p), np.asarray(m_j),
+                               rtol=1e-4, atol=1e-4)
+    s_p = np.asarray(f_p) @ np.asarray(f_p).T
+    s_j = np.asarray(f_j) @ np.asarray(f_j).T
+    np.testing.assert_allclose(s_p, s_j, atol=2e-4 * max(1.0, float(np.abs(s_j).max())))
