@@ -58,7 +58,7 @@ class FactorGSM:
     def __init__(self, D, lp, lp_g, mesh=None, data_axis: str = "data",
                  dtype=None, refresh_every: int = 1000,
                  method: str = "eps", use_pallas: "bool | str" = "auto",
-                 pallas_score=None, steps_per_call: int = 4,
+                 pallas_score=None, steps_per_call: int = 8,
                  cov_sharding=None, pallas_precision: str = "highest"):
         """``method``:
         - "eps" (default): eps-coordinate update (ops/gsm_eps.py) — the
@@ -98,7 +98,10 @@ class FactorGSM:
         # Sub-steps looped INSIDE one kernel invocation on the fully-fused
         # path: kernel dispatch costs ~25us on v5e (measured with an empty
         # kernel), so amortizing it across steps_per_call iterations is the
-        # single largest throughput lever.
+        # single largest throughput lever.  Warm-differential sweep @
+        # D=256/B=32 (quiet machine): 62.1k/64.2k/63.4k/64.0k it/s at
+        # 4/8/16/32 — saturates by 8; sub-step seeds are spc-invariant so
+        # trajectories do not change with this knob.
         self.steps_per_call = steps_per_call
         # Mosaic lowers only DEFAULT (1-pass bf16, f32 accumulate) and
         # HIGHEST (full f32) dot precisions — Precision.HIGH has no TPU
