@@ -35,12 +35,13 @@ PRIMARY_D = 256
 # x mixing iterations, so the large-D cells get more; ADVI converges much
 # slower per iteration and gets its own (smaller at D=1024 where its step
 # is ~40ms).
-NITER = {64: 4000, 256: 3000, 512: 4000, 1024: 8000}
-NITER_BAM = {64: 3000, 256: 2000, 512: 2000, 1024: 1000}
+NITER = {64: 40000, 256: 30000, 512: 16000, 1024: 16000}
+NITER_BAM = {64: 8000, 256: 4000, 512: 2000, 1024: 1000}
 # ADVI's step is fast (measured 67 us raw at D=1024) but short fits are
-# measurement-floor-bound on the tunneled device; budgets sized so compute
-# dominates the differential window.
-NITER_ADVI = {64: 20000, 256: 20000, 512: 4000, 1024: 8000}
+# measurement-floor-bound on the tunneled device; budgets sized so the
+# differential window is >~1 s of compute (cells with shorter windows
+# read 2-3x low/high run-to-run from tunnel jitter).
+NITER_ADVI = {64: 60000, 256: 40000, 512: 4000, 1024: 8000}
 NITER_BASE = 150
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "2700"))
 SMOKE = bool(os.environ.get("BENCH_SMOKE"))
