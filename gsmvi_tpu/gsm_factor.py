@@ -59,7 +59,8 @@ class FactorGSM:
                  dtype=None, refresh_every: int = 1000,
                  method: str = "eps", use_pallas: "bool | str" = "auto",
                  pallas_score=None, steps_per_call: int = 8,
-                 cov_sharding=None, pallas_precision: str = "highest"):
+                 cov_sharding=None, pallas_precision: str = "highest",
+                 ns_iters=(5, 4, 6, 7, 4)):
         """``method``:
         - "eps" (default): eps-coordinate update (ops/gsm_eps.py) — the
           state is (mean, F) only; no maintained inverse, no QR, no eigh;
@@ -106,6 +107,15 @@ class FactorGSM:
         # Mosaic lowers only DEFAULT (1-pass bf16, f32 accumulate) and
         # HIGHEST (full f32) dot precisions — Precision.HIGH has no TPU
         # kernel lowering.
+        # Newton-Schulz sweep counts for the in-kernel small space
+        # (sqrt1, inv1, inv2, sqrt2, inv3).  The default is the measured
+        # accuracy/speed frontier on v5e with the sharp inf-norm spectral
+        # scaling (79k it/s @ D=256 at full converged accuracy; sweep
+        # 2026-08-17).  CAUTION: the residual gates catch catastrophic loss,
+        # NOT slow bias — cutting iters[2] (the W1^{-1} inverse) below 6
+        # measurably degrades converged cov_err (0.0026 -> 0.017) with zero
+        # rejections.  Validate convergence when changing this.
+        self.ns_iters = tuple(ns_iters)
         self.pallas_precision = {
             "highest": jax.lax.Precision.HIGHEST,
             "bf16": jax.lax.Precision.DEFAULT,
@@ -150,7 +160,8 @@ class FactorGSM:
         spc = self.steps_per_call
         multi = make_fused_eps_multistep(score_fn, len(params), batch_size,
                                          self.D, spc,
-                                         big_prec=self.pallas_precision)
+                                         big_prec=self.pallas_precision,
+                                         iters=self.ns_iters)
         single_step = self._make_step(batch_size)
 
         @partial(jax.jit, static_argnums=1)
@@ -194,7 +205,8 @@ class FactorGSM:
         if mode == "step":
             score_fn, params = self.pallas_score
             fused = make_fused_eps_step(score_fn, len(params), batch_size, d,
-                                        big_prec=self.pallas_precision)
+                                        big_prec=self.pallas_precision,
+                                        iters=self.ns_iters)
 
             def step(state: FactorVIState) -> FactorVIState:
                 # Per-step seed: fit-key data mixed with the step counter

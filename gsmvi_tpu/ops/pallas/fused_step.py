@@ -132,12 +132,21 @@ def _triu_inv_inplace(lt_ref, m_ref, k: int):
     jax.lax.fori_loop(0, k, body, 0, unroll=False)
 
 
+def _spd_norm_ub(a):
+    """Cheap sharp upper bound on lambda_max of small SPD ``a``: the row-sum
+    (infinity) norm.  The Frobenius norm over-estimates lambda_max by up to
+    sqrt(k) (k=2B=64: ~8x), which parks the scaled spectrum far below 1 and
+    wastes Newton-Schulz sweeps in the linear warm-up phase — measured, the
+    tighter bound buys the same accuracy in ~2/3 of the sweeps."""
+    return jnp.max(jnp.sum(jnp.abs(a), axis=-1)) + 1e-30
+
+
 def _ns_sqrt(a, iters: int):
     """Newton-Schulz SPD square root on a small VMEM value (matmul-only,
     statically unrolled — no loop machinery, the in-kernel fast path)."""
     n = a.shape[-1]
     eye = jnp.eye(n, dtype=jnp.float32)
-    nrm = jnp.sqrt(jnp.sum(a * a)) + 1e-30
+    nrm = _spd_norm_ub(a)
     y = a / nrm
     z = eye
     for _ in range(iters):
@@ -151,11 +160,12 @@ def _ns_sqrt(a, iters: int):
 def _newton_inv(a, iters: int):
     """Newton-Hotelling inverse of a small SPD value (matmul-only).
 
-    X0 = I/||A||_F gives ||I - A X0|| < 1 for SPD A, so the iteration
-    X <- X(2I - A X) always converges; ~log2(cond)+5 iterations suffice."""
+    X0 = I/c with c >= lambda_max gives ||I - A X0|| < 1 for SPD A, so the
+    iteration X <- X(2I - A X) always converges; ~log2(cond)+5 iterations
+    suffice.  c is the sharp row-sum bound (see _spd_norm_ub)."""
     n = a.shape[-1]
     eye = jnp.eye(n, dtype=jnp.float32)
-    x = eye * (1.0 / (jnp.sqrt(jnp.sum(a * a)) + 1e-30))
+    x = eye * (1.0 / _spd_norm_ub(a))
     for _ in range(iters):
         x = jnp.dot(x, 2.0 * eye - jnp.dot(a, x,
                                            preferred_element_type=jnp.float32,
@@ -165,7 +175,7 @@ def _newton_inv(a, iters: int):
 
 
 def _eps_smallspace_ns(e, v, vf, mu, f, *, batch: int, tol: float = 3e-3,
-                       iters=(8, 6, 8, 10, 6), skip_small: bool = False,
+                       iters=(5, 4, 6, 7, 4), skip_small: bool = False,
                        big_prec=None):
     """Loop-free small-space core: two-phase (PSD update then PSD downdate)
     factorization of M = I + (eps^T eps - C^T C)/B with matmul-only
@@ -433,7 +443,7 @@ def _boxmuller(shape):
 def make_fused_eps_step(score_fn, n_params: int, batch: int, d: int,
                         jitter: float = 1e-6, external_eps: bool = False,
                         interpret: bool = False, method: str = "ns",
-                        big_prec=None):
+                        big_prec=None, iters=(5, 4, 6, 7, 4)):
     """Build the ONE-kernel GSM step for a Pallas-traceable score.
 
     ``score_fn(x, *params) -> (B, D)`` is traced into the kernel (element-wise
@@ -475,7 +485,8 @@ def make_fused_eps_step(score_fn, n_params: int, batch: int, d: int,
                          precision=bp)
             mu_new, f_new, good = _eps_smallspace_ns(e, v, vf, mu, f,
                                                      batch=batch,
-                                                     big_prec=bp)
+                                                     big_prec=bp,
+                                                     iters=iters)
             mu_out[:] = jnp.where(good, mu_new, mu)
             f_out[:] = jnp.where(good, f_new, f)
             good_out[0, 0] = good.astype(jnp.int32)
@@ -528,7 +539,7 @@ _WEYL = -1640531527  # golden-ratio increment for per-step seed mixing
 
 def make_fused_eps_multistep(score_fn, n_params: int, batch: int, d: int,
                              steps_per_call: int, method: str = "ns",
-                             iters=(8, 6, 8, 10, 6),
+                             iters=(5, 4, 6, 7, 4),
                              skip_small: bool = False,
                              big_prec=None):
     """SPC GSM iterations per kernel invocation — the dispatch amortizer.
