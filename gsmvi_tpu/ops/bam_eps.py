@@ -50,7 +50,7 @@ import jax.numpy as jnp
 from .gsm_factor import _update_corr
 
 
-def bam_eps_update(eps, vs, mean, f, reg, newton_iters: int = 20,
+def bam_eps_update(eps, vs, mean, f, reg, newton_iters: int = 10,
                    solver: str = "svd"):
     """One factor-coordinate BaM step.
 
@@ -180,7 +180,7 @@ def bam_eps_update(eps, vs, mean, f, reg, newton_iters: int = 20,
 
 
 def apply_bam_eps_step(state_mean, state_f, eps, vs, reg,
-                       newton_iters: int = 20, solver: str = "svd"):
+                       newton_iters: int = 10, solver: str = "svd"):
     """Proposal + select: keeps the old (mean, F) when the proposal fails
     its exact PD check (replaces the reference's host jitter/retry loop,
     ``gsmvi/bam.py:188-206``, for the non-retry path).  No jitter parameter:
