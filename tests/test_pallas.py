@@ -106,3 +106,24 @@ def test_fused_update_chol_method_matches_jnp(rng):
     s_p = np.asarray(f_p) @ np.asarray(f_p).T
     s_j = np.asarray(f_j) @ np.asarray(f_j).T
     np.testing.assert_allclose(s_p, s_j, atol=2e-4 * max(1.0, float(np.abs(s_j).max())))
+
+
+def test_ns_residual_gates_reject_unconverged_sweeps(rng):
+    """With absurdly few Newton-Schulz sweeps the phase residuals must trip
+    the accuracy gates (good=False) rather than return a silently-wrong
+    factor — the safety net behind the tunable FactorGSM(ns_iters=)."""
+    from gsmvi_tpu.ops.pallas.fused_step import _eps_smallspace_ns
+
+    b, d = 8, 32
+    f = jnp.asarray((0.5 * rng.normal(size=(d, d))
+                     + np.eye(d)).astype(np.float32))
+    mu = jnp.zeros((1, d), jnp.float32)
+    e = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32))
+    v = jnp.asarray((0.5 * rng.normal(size=(b, d))).astype(np.float32))
+    vf = v @ f
+
+    _, _, good_default = _eps_smallspace_ns(e, v, vf, mu, f, batch=b)
+    assert bool(good_default)
+    _, _, good_tiny = _eps_smallspace_ns(e, v, vf, mu, f, batch=b,
+                                         iters=(1, 1, 1, 1, 1))
+    assert not bool(good_tiny)
