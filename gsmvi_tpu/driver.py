@@ -206,9 +206,11 @@ def run_fit_loop(
         i += k
     if monitor is not None:
         # Reference issues one extra monitor call after the loop with i=niter
-        # (``gsmvi/gsm.py:131-132``).
+        # (``gsmvi/gsm.py:131-132``).  Fold index ``total`` (= niter+1, never
+        # an in-loop index) so on constant-key paths this call's MC draws are
+        # independent of a checkpoint that landed exactly on i=niter.
         monitor(niter, monitor_params(state), lp,
-                _monitor_key(state.key, niter), nevals=nevals)
+                _monitor_key(state.key, total), nevals=nevals)
     if collect_aux:
         aux = jax.tree_util.tree_map(
             lambda *xs: jax.numpy.concatenate(xs, axis=0), *aux_chunks)

@@ -240,7 +240,9 @@ class FactorGSM:
                     samples = state.mean + eps @ state.factor.T
                     vs = lp_g(samples)
                     mean, f, good = gsm_eps_update_fused(
-                        eps, vs, state.mean, state.factor)
+                        eps, vs, state.mean, state.factor,
+                        iters=self.ns_iters,
+                        big_prec=self.pallas_precision)
                     g32 = good.astype(jnp.int32)
                     return FactorVIState(mean, f, state.finv, key,
                                          state.step + 1,

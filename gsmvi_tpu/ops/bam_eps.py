@@ -50,8 +50,16 @@ import jax.numpy as jnp
 from .gsm_factor import _update_corr
 
 
-def bam_eps_update(eps, vs, mean, f, reg, newton_iters: int = 10,
+def bam_eps_update(eps, vs, mean, f, reg, newton_iters: int = 20,
                    solver: str = "svd"):
+    # newton_iters=20 is REQUIRED at aggressive schedules: Om is built from
+    # CENTERED eps (rank-deficient -> Gu has near-zero eigenvalues), so
+    # cond(I+Gu) ~ reg * lmax(Gram(ed))/B reaches ~1e4 at reg ~ 1000 and the
+    # Newton-Schulz warm-up is cond-bound (measured: rel err 0.22 @ 10
+    # sweeps, 1.5e-6 @ 20, reg=1000, B=32, D=128 — tests/test_bam_eps.py
+    # pins the stiff case).  The sharp inf-norm seed only buys ~2 sweeps
+    # here, unlike the fused GSM small space whose UNCENTERED Grams are
+    # well-conditioned.
     """One factor-coordinate BaM step.
 
     Inputs: eps (B, D) the standard-normal draws used for sampling;
@@ -180,7 +188,7 @@ def bam_eps_update(eps, vs, mean, f, reg, newton_iters: int = 10,
 
 
 def apply_bam_eps_step(state_mean, state_f, eps, vs, reg,
-                       newton_iters: int = 10, solver: str = "svd"):
+                       newton_iters: int = 20, solver: str = "svd"):
     """Proposal + select: keeps the old (mean, F) when the proposal fails
     its exact PD check (replaces the reference's host jitter/retry loop,
     ``gsmvi/bam.py:188-206``, for the non-retry path).  No jitter parameter:

@@ -349,21 +349,26 @@ def _update_kernel(eps_ref, vs_ref, mu_ref, f_ref, mu_out, f_out, good_out,
 
 
 def _update_kernel_ns(eps_ref, vs_ref, mu_ref, f_ref, mu_out, f_out,
-                      good_out, *, batch: int):
+                      good_out, *, batch: int, iters=(5, 4, 6, 7, 4),
+                      big_prec=None):
+    bp = _HI if big_prec is None else big_prec
     e = eps_ref[:]
     v = vs_ref[:]
     mu = mu_ref[:]
     f = f_ref[:]
-    vf = jnp.dot(v, f, preferred_element_type=jnp.float32, precision=_HI)
-    mu_new, f_new, good = _eps_smallspace_ns(e, v, vf, mu, f, batch=batch)
+    vf = jnp.dot(v, f, preferred_element_type=jnp.float32, precision=bp)
+    mu_new, f_new, good = _eps_smallspace_ns(e, v, vf, mu, f, batch=batch,
+                                             iters=iters, big_prec=bp)
     mu_out[:] = jnp.where(good, mu_new, mu)
     f_out[:] = jnp.where(good, f_new, f)
     good_out[0, 0] = good.astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("jitter", "interpret", "method"))
+@functools.partial(jax.jit, static_argnames=("jitter", "interpret", "method",
+                                             "iters", "big_prec"))
 def gsm_eps_update_fused(eps, vs, mean, f, jitter: float = 1e-6,
-                         interpret: bool = False, method: str = "ns"):
+                         interpret: bool = False, method: str = "ns",
+                         iters=(5, 4, 6, 7, 4), big_prec=None):
     """Fused eps-coordinate GSM update + validity + select (one kernel).
 
     Drop-in for ``ops.gsm_eps.apply_eps_step``: returns (mean, f, good) with
@@ -385,7 +390,8 @@ def gsm_eps_update_fused(eps, vs, mean, f, jitter: float = 1e-6,
 
     specs = dict(memory_space=pltpu.VMEM) if _HAS_PLTPU else {}
     if method == "ns":
-        kernel = functools.partial(_update_kernel_ns, batch=b)
+        kernel = functools.partial(_update_kernel_ns, batch=b, iters=iters,
+                                   big_prec=big_prec)
         scratch = []
     else:
         kernel = functools.partial(_update_kernel, batch=b, jitter=jitter)

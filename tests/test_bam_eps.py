@@ -145,3 +145,34 @@ def test_rejects_numpy_lp_g():
     with pytest.raises(TypeError):
         bam.fit(jax.random.PRNGKey(0), regf=Regularizers().constant(1.0),
                 niter=2, verbose=False)
+
+
+def test_update_corr_converges_in_stiff_centered_regime():
+    """Regression for the newton_iters=10 mistake: Om built from CENTERED
+    eps is rank-deficient, so cond(I+Gu) ~ reg*lmax/B reaches ~1e4 at
+    aggressive schedules and the Newton-Schulz warm-up is cond-bound —
+    the default sweep count must hold the floor there."""
+    import inspect
+
+    from gsmvi_tpu.ops.bam_eps import bam_eps_update
+    from gsmvi_tpu.ops.gsm_factor import _update_corr
+
+    default_iters = inspect.signature(bam_eps_update).parameters[
+        "newton_iters"].default
+    rng = np.random.default_rng(0)
+    b, d, reg = 32, 128, 1000.0
+    eps = rng.normal(size=(b, d))
+    ed = eps - eps.mean(0)
+    r1 = reg / (1 + reg)
+    om = np.concatenate([np.sqrt(reg / b) * ed.T,
+                         -np.sqrt(r1) * eps.mean(0)[:, None]], axis=1)
+    gu = (om.T @ om).astype(np.float32)
+    gu = 0.5 * (gu + gu.T)
+    g64 = gu.astype(np.float64)
+    k = gu.shape[0]
+    w, q = np.linalg.eigh(np.eye(k) + g64)
+    c_true = q @ np.diag(1.0 / (1.0 + np.sqrt(w))) @ q.T
+    c = np.asarray(_update_corr(jnp.asarray(gu), default_iters)[0],
+                   np.float64)
+    rel = np.max(np.abs(c - c_true)) / np.max(np.abs(c_true))
+    assert rel < 1e-4, f"default newton_iters={default_iters} rel={rel:.2e}"

@@ -106,9 +106,10 @@ def test_monitor_keys_differ_per_checkpoint_even_with_constant_state_key():
                         else np.asarray(key).copy())
 
     s0 = S(jax.random.PRNGKey(7), jnp.zeros((), jnp.int32))
-    # niter NOT a checkpoint multiple: the protocol's extra final call at
-    # i=niter must not collide with an in-loop checkpoint index.
-    run_fit_loop(step, s0, 23, monitor=Mon(), verbose=False,
+    # niter IS a checkpoint multiple: the protocol's extra final call at
+    # i=niter folds index niter+1, so even the collision case yields
+    # distinct keys.
+    run_fit_loop(step, s0, 20, monitor=Mon(), verbose=False,
                  monitor_params=lambda s: [s.step])
     assert len(seen) >= 4
     uniq = {tuple(k.ravel().tolist()) for k in seen}
