@@ -26,7 +26,8 @@ from .driver import is_traceable, make_chunk_runner, on_tpu, run_fit_loop
 from .ops.gsm_eps import apply_eps_step
 from .ops.gsm_factor import (factor_gsm_step_stats, factor_gsm_step_stats_v2,
                              factor_refresh, factor_to_cov)
-from .ops.pallas.fused_step import (fused_supported, gsm_eps_update_fused,
+from .ops.pallas.fused_step import (NS_ITERS_DEFAULT, fused_supported,
+                                    gsm_eps_update_fused,
                                     make_fused_eps_multistep,
                                     make_fused_eps_step)
 from .parallel.mesh import data_sharding
@@ -60,7 +61,7 @@ class FactorGSM:
                  method: str = "eps", use_pallas: "bool | str" = "auto",
                  pallas_score=None, steps_per_call: int = 8,
                  cov_sharding=None, pallas_precision: str = "highest",
-                 ns_iters=(5, 4, 6, 7, 4)):
+                 ns_iters=NS_ITERS_DEFAULT):
         """``method``:
         - "eps" (default): eps-coordinate update (ops/gsm_eps.py) — the
           state is (mean, F) only; no maintained inverse, no QR, no eigh;

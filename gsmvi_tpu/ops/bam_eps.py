@@ -52,15 +52,16 @@ from .gsm_factor import _update_corr
 
 def bam_eps_update(eps, vs, mean, f, reg, newton_iters: int = 20,
                    solver: str = "svd"):
-    # newton_iters=20 is REQUIRED at aggressive schedules: Om is built from
-    # CENTERED eps (rank-deficient -> Gu has near-zero eigenvalues), so
-    # cond(I+Gu) ~ reg * lmax(Gram(ed))/B reaches ~1e4 at reg ~ 1000 and the
-    # Newton-Schulz warm-up is cond-bound (measured: rel err 0.22 @ 10
-    # sweeps, 1.5e-6 @ 20, reg=1000, B=32, D=128 — tests/test_bam_eps.py
-    # pins the stiff case).  The sharp inf-norm seed only buys ~2 sweeps
-    # here, unlike the fused GSM small space whose UNCENTERED Grams are
-    # well-conditioned.
     """One factor-coordinate BaM step.
+
+    ``newton_iters=20`` is REQUIRED at aggressive schedules: Om is built
+    from CENTERED eps (rank-deficient, so Gu has near-zero eigenvalues) and
+    cond(I+Gu) ~ reg * lmax(Gram(ed))/B reaches ~1e4 at reg ~ 1000, where
+    the Newton-Schulz warm-up is cond-bound (measured: rel err 0.22 @ 10
+    sweeps, 1.5e-6 @ 20 at reg=1000, B=32, D=128 — pinned by
+    tests/test_bam_eps.py).  The sharp inf-norm seed only buys ~2 sweeps
+    here, unlike the fused GSM small space whose UNCENTERED Grams are
+    well-conditioned.
 
     Inputs: eps (B, D) the standard-normal draws used for sampling;
     vs (B, D) = lp_g(mean + eps @ f.T); mean (D,); f (D, D) with S0 = f f^T;

@@ -49,6 +49,11 @@ except Exception:  # pragma: no cover
 # incl. score params) compiles; the gate below keeps a safety margin.
 _VMEM_LIMIT_BYTES = 96 * 1024 * 1024
 _HI = jax.lax.Precision.HIGHEST
+# Validated Newton-Schulz sweep counts (sqrt1, inv1, inv2, sqrt2, inv3) for
+# the in-kernel small space — the measured accuracy/speed frontier with the
+# sharp inf-norm seed (docs/BENCHMARKS.md).  Single source of truth: every
+# factory and FactorGSM default this tuple.
+NS_ITERS_DEFAULT = (5, 4, 6, 7, 4)
 
 
 def _compiler_params(interpret: bool):
@@ -175,7 +180,7 @@ def _newton_inv(a, iters: int):
 
 
 def _eps_smallspace_ns(e, v, vf, mu, f, *, batch: int, tol: float = 3e-3,
-                       iters=(5, 4, 6, 7, 4), skip_small: bool = False,
+                       iters=NS_ITERS_DEFAULT, skip_small: bool = False,
                        big_prec=None):
     """Loop-free small-space core: two-phase (PSD update then PSD downdate)
     factorization of M = I + (eps^T eps - C^T C)/B with matmul-only
@@ -349,7 +354,7 @@ def _update_kernel(eps_ref, vs_ref, mu_ref, f_ref, mu_out, f_out, good_out,
 
 
 def _update_kernel_ns(eps_ref, vs_ref, mu_ref, f_ref, mu_out, f_out,
-                      good_out, *, batch: int, iters=(5, 4, 6, 7, 4),
+                      good_out, *, batch: int, iters=NS_ITERS_DEFAULT,
                       big_prec=None):
     bp = _HI if big_prec is None else big_prec
     e = eps_ref[:]
@@ -368,7 +373,7 @@ def _update_kernel_ns(eps_ref, vs_ref, mu_ref, f_ref, mu_out, f_out,
                                              "iters", "big_prec"))
 def gsm_eps_update_fused(eps, vs, mean, f, jitter: float = 1e-6,
                          interpret: bool = False, method: str = "ns",
-                         iters=(5, 4, 6, 7, 4), big_prec=None):
+                         iters=NS_ITERS_DEFAULT, big_prec=None):
     """Fused eps-coordinate GSM update + validity + select (one kernel).
 
     Drop-in for ``ops.gsm_eps.apply_eps_step``: returns (mean, f, good) with
@@ -449,7 +454,7 @@ def _boxmuller(shape):
 def make_fused_eps_step(score_fn, n_params: int, batch: int, d: int,
                         jitter: float = 1e-6, external_eps: bool = False,
                         interpret: bool = False, method: str = "ns",
-                        big_prec=None, iters=(5, 4, 6, 7, 4)):
+                        big_prec=None, iters=NS_ITERS_DEFAULT):
     """Build the ONE-kernel GSM step for a Pallas-traceable score.
 
     ``score_fn(x, *params) -> (B, D)`` is traced into the kernel (element-wise
@@ -545,7 +550,7 @@ _WEYL = -1640531527  # golden-ratio increment for per-step seed mixing
 
 def make_fused_eps_multistep(score_fn, n_params: int, batch: int, d: int,
                              steps_per_call: int, method: str = "ns",
-                             iters=(5, 4, 6, 7, 4),
+                             iters=NS_ITERS_DEFAULT,
                              skip_small: bool = False,
                              big_prec=None):
     """SPC GSM iterations per kernel invocation — the dispatch amortizer.
