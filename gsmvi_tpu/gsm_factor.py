@@ -59,7 +59,7 @@ class FactorGSM:
     def __init__(self, D, lp, lp_g, mesh=None, data_axis: str = "data",
                  dtype=None, refresh_every: int = 1000,
                  method: str = "eps", use_pallas: "bool | str" = "auto",
-                 pallas_score=None, steps_per_call: int = 8,
+                 pallas_score=None, steps_per_call=None,
                  cov_sharding=None, pallas_precision: str = "highest",
                  ns_iters=NS_ITERS_DEFAULT):
         """``method``:
@@ -100,11 +100,13 @@ class FactorGSM:
         # Sub-steps looped INSIDE one kernel invocation on the fully-fused
         # path: kernel dispatch costs ~25us on v5e (measured with an empty
         # kernel), so amortizing it across steps_per_call iterations is the
-        # single largest throughput lever.  Warm-differential sweep @
-        # D=256/B=32 (quiet machine): 62.1k/64.2k/63.4k/64.0k it/s at
-        # 4/8/16/32 — saturates by 8; sub-step seeds are spc-invariant so
-        # trajectories do not change with this knob.
-        self.steps_per_call = steps_per_call
+        # single largest throughput lever.  Warm-differential sweeps (quiet
+        # machine): D=256 flat from spc=8 (62-64k at 4/8/16/32); D<=128 is
+        # dispatch-dominated enough that 16 still pays (+9.5% at D=64:
+        # 98.6k vs 90.0k).  Sub-step seeds are spc-invariant so trajectories
+        # do not change with this knob; None = auto by D.
+        self.steps_per_call = (steps_per_call if steps_per_call is not None
+                               else (16 if D <= 128 else 8))
         # Mosaic lowers only DEFAULT (1-pass bf16, f32 accumulate) and
         # HIGHEST (full f32) dot precisions — Precision.HIGH has no TPU
         # kernel lowering.
