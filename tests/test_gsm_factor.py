@@ -173,3 +173,17 @@ class TestTwoPhase:
         dmu, ds = gsm_update_stats(x, v, mu0, np.eye(d))
         dense_pd = np.all(np.linalg.eigvalsh(np.eye(d) + np.asarray(ds)) > 0)
         assert bool(good) == bool(dense_pd)
+
+
+def test_steps_per_call_auto_rule():
+    """None -> dispatch-amortization depth picked by D (measured sweep:
+    16 pays for D<=128, flat above); explicit ints honored."""
+    from gsmvi_tpu import FactorGSM
+
+    lp = lambda x: -0.5 * (x * x).sum(-1)
+    lp_g = lambda x: -x
+    assert FactorGSM(D=64, lp=lp, lp_g=lp_g).steps_per_call == 16
+    assert FactorGSM(D=128, lp=lp, lp_g=lp_g).steps_per_call == 16
+    assert FactorGSM(D=256, lp=lp, lp_g=lp_g).steps_per_call == 8
+    assert FactorGSM(D=256, lp=lp, lp_g=lp_g,
+                     steps_per_call=4).steps_per_call == 4
