@@ -98,22 +98,30 @@ def _time_fit(run, niter, target):
     mean, cov = run(n1)        # warm/compile the short program
     np.asarray(mean)
 
-    t0 = time.perf_counter()
-    m1, c1 = run(n1)
-    np.asarray(m1)
-    t1 = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    mean, cov = run(niter)
-    np.asarray(mean)
-    t2 = time.perf_counter() - t0
-    em, ec = _errs(mean, cov, target)
-    # Guard against timing noise making t2 <= t1 (both runs latency-bound):
-    # cap the differential estimate at 2x the single-run rate, which is
-    # itself a (latency-biased) lower bound.
-    single = (niter + 1) / max(t2, 1e-9)
-    if t2 - t1 <= 0:
-        return single, em, ec
-    return min((niter - n1) / (t2 - t1), 2.0 * single), em, ec
+    # Two timed attempts, best kept: noise (host hiccups, tunnel jitter)
+    # only ever INFLATES wall time, so max-rate is the estimator closest to
+    # truth (a one-off stall once deflated a cell 10x).
+    best, em, ec = 0.0, None, None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        m1, c1 = run(n1)
+        np.asarray(m1)
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        mean, cov = run(niter)
+        np.asarray(mean)
+        t2 = time.perf_counter() - t0
+        em, ec = _errs(mean, cov, target)
+        # Guard against timing noise making t2 <= t1 (both runs latency-
+        # bound): cap the differential estimate at 2x the single-run rate,
+        # which is itself a (latency-biased) lower bound.
+        single = (niter + 1) / max(t2, 1e-9)
+        if t2 - t1 <= 0:
+            rate = single
+        else:
+            rate = min((niter - n1) / (t2 - t1), 2.0 * single)
+        best = max(best, rate)
+    return best, em, ec
 
 
 def bench_matrix(targets):
