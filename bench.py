@@ -36,7 +36,7 @@ PRIMARY_D = 256
 # slower per iteration and gets its own (smaller at D=1024 where its step
 # is ~40ms).
 NITER = {64: 40000, 256: 30000, 512: 16000, 1024: 16000}
-NITER_BAM = {64: 8000, 256: 4000, 512: 2000, 1024: 1000}
+NITER_BAM = {64: 16000, 256: 8000, 512: 2000, 1024: 3000}
 # ADVI's step is fast (measured 67 us raw at D=1024) but short fits are
 # measurement-floor-bound on the tunneled device; budgets sized so the
 # differential window is >~1 s of compute (cells with shorter windows
