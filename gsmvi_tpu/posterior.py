@@ -70,3 +70,18 @@ class Posterior:
             return self.mean, std
         idx = jnp.asarray(idx)
         return self.mean[idx], std[idx]
+
+    # -- serialization (serving artifact: two arrays, no pickle) ------------
+    def save(self, path: str) -> None:
+        """Write the fitted Gaussian as an npz of (mean, chol)."""
+        import numpy as np
+
+        np.savez(path, mean=np.asarray(self.mean),
+                 chol=np.asarray(self.chol))
+
+    @classmethod
+    def load(cls, path: str) -> "Posterior":
+        import numpy as np
+
+        with np.load(path) as z:
+            return cls(z["mean"], z["chol"])

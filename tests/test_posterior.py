@@ -43,3 +43,21 @@ def test_marginal_matches_cov_diag(rng):
     post = Posterior.from_fit(mean, cov)
     _, sd = post.marginal()
     np.testing.assert_allclose(np.asarray(sd) ** 2, np.diag(cov), rtol=1e-8)
+
+
+def test_posterior_save_load_roundtrip(tmp_path):
+    import jax
+
+    from gsmvi_tpu import Posterior
+    from gsmvi_tpu.models import dense_gaussian
+
+    t = dense_gaussian(jax.random.PRNGKey(0), 6)
+    post = Posterior.from_fit(t.mean, t.cov)
+    p = str(tmp_path / "post.npz")
+    post.save(p)
+    back = Posterior.load(p)
+    np.testing.assert_allclose(np.asarray(back.mean), np.asarray(post.mean))
+    np.testing.assert_allclose(np.asarray(back.chol), np.asarray(post.chol))
+    x = back.sample(jax.random.PRNGKey(1), 8)
+    np.testing.assert_allclose(np.asarray(back.log_prob(x)),
+                               np.asarray(post.log_prob(x)), rtol=1e-6)
