@@ -159,11 +159,12 @@ class ADVI:
         init_state = self._runners.get(("init",), (opt,), build_init)
         state = init_state(mean, cov, key)
 
-        step = self._make_step(batch_size, opt)
         # ``opt`` is identity-keyed; RunnerCache pins it against id reuse.
+        # The step closure is only built on a cache miss.
         run_chunk = self._runners.get(
             (batch_size,), (opt,),
-            lambda: make_chunk_runner(step, collect_aux=True))
+            lambda: make_chunk_runner(self._make_step(batch_size, opt),
+                                      collect_aux=True))
         state, losses = run_fit_loop(
             None,  # cached run_chunk carries the body
             state,
@@ -194,13 +195,10 @@ class ADVI:
         dtype = self.dtype
         d = self.D
 
+        from .driver import broadcast_replicas
+
         def broadcast(x, default, shape):
-            if x is None:
-                x = default
-            x = jnp.asarray(x, dtype)
-            if x.ndim == len(shape):
-                x = jnp.broadcast_to(x, (k, *shape))
-            return x
+            return broadcast_replicas(x, default, k, shape, dtype)
 
         means0 = broadcast(mean, jnp.zeros(d, dtype), (d,))
         covs0 = broadcast(cov, jnp.eye(d, dtype=dtype), (d, d))

@@ -214,13 +214,10 @@ class BaM:
         d = self.D
         dtype = self.dtype
 
+        from .driver import broadcast_replicas
+
         def broadcast(x, default, shape):
-            if x is None:
-                x = default
-            x = jnp.asarray(x, dtype)
-            if x.ndim == len(shape):
-                x = jnp.broadcast_to(x, (k, *shape))
-            return x
+            return broadcast_replicas(x, default, k, shape, dtype)
 
         means0 = broadcast(mean, jnp.zeros(d, dtype), (d,))
         covs0 = broadcast(cov, jnp.eye(d, dtype=dtype), (d, d))

@@ -64,7 +64,9 @@ class GSM:
         for i in range(niter + 1):
             if verbose and print_every and i % print_every == 0:
                 print(f"Iteration {i} of {niter}")
-            if monitor is not None and i % monitor.checkpoint == 0:
+            checkpoint = getattr(monitor, "checkpoint", None) \
+                if monitor is not None else None
+            if checkpoint and i % checkpoint == 0:
                 monitor(i, [mean, cov], self.lp, i, nevals=nevals)
                 nevals = 0
             # Sample from the maintained Cholesky factor (one gemm; the

@@ -98,6 +98,19 @@ def make_chunk_runner(step: Callable, collect_aux: bool = False) -> Callable:
     return run_chunk
 
 
+def broadcast_replicas(x, default, k: int, shape, dtype):
+    """fit_batch initial-state helper: broadcast one (mean/cov-shaped)
+    value to k replicas, or pass through an already per-replica array."""
+    import jax.numpy as jnp
+
+    if x is None:
+        x = default
+    x = jnp.asarray(x, dtype)
+    if x.ndim == len(shape):
+        x = jnp.broadcast_to(x, (k, *shape))
+    return x
+
+
 def _monitor_key(key, i: int):
     """Key handed to the monitor at checkpoint ``i``: the state key remixed
     with the iteration index.  On the fused-Pallas path the state key is the

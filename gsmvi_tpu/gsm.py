@@ -91,10 +91,12 @@ class GSM:
                     and self.dtype == jnp.float32
                     and pallas_supported(batch_size, self.D)
                     and batch_size * self.D >= 4096)
-        # Explicit use_pallas=True still requires a TPU backend: compiling the
-        # kernel with interpret=False on CPU/GPU fails at lowering, so fall
-        # back to the XLA path there rather than erroring.
-        return (bool(self.use_pallas) and on_tpu()
+        # Explicit use_pallas=True keeps the same hard gates as auto: a TPU
+        # backend (interpret=False fails to lower elsewhere), no mesh (the
+        # pallas_call has no GSPMD partitioning rule — sharded operands would
+        # gather or fail to compile), and f32 (the kernel is f32-only).
+        return (bool(self.use_pallas) and on_tpu() and self.mesh is None
+                and self.dtype == jnp.float32
                 and pallas_supported(batch_size, self.D))
 
     # -- compiled step ------------------------------------------------------
@@ -216,13 +218,10 @@ class GSM:
         d = self.D
         dtype = self.dtype
 
+        from .driver import broadcast_replicas
+
         def broadcast(x, default, shape):
-            if x is None:
-                x = default
-            x = jnp.asarray(x, dtype)
-            if x.ndim == len(shape):
-                x = jnp.broadcast_to(x, (k, *shape))
-            return x
+            return broadcast_replicas(x, default, k, shape, dtype)
 
         means0 = broadcast(mean, jnp.zeros(d, dtype), (d,))
         covs0 = broadcast(cov, jnp.eye(d, dtype=dtype), (d, d))

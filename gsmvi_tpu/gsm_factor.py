@@ -135,6 +135,11 @@ class FactorGSM:
         """None | "update" | "step" — which fused kernel this config uses."""
         if self.method != "eps" or self.mesh is not None:
             return None
+        # The fused kernels keep F in VMEM on one chip — they cannot honor a
+        # model-sharded factor; the generic XLA step (which applies the
+        # with_sharding_constraint) is the large-D path.
+        if self.cov_sharding is not None:
+            return None
         if self.dtype != jnp.float32 or not on_tpu():
             return None
         if not fused_supported(batch_size, self.D):
@@ -350,13 +355,10 @@ class FactorGSM:
         d = self.D
         dtype = self.dtype
 
+        from .driver import broadcast_replicas
+
         def broadcast(x, default, shape):
-            if x is None:
-                x = default
-            x = jnp.asarray(x, dtype)
-            if x.ndim == len(shape):
-                x = jnp.broadcast_to(x, (k, *shape))
-            return x
+            return broadcast_replicas(x, default, k, shape, dtype)
 
         means0 = broadcast(mean, jnp.zeros(d, dtype), (d,))
         covs0 = broadcast(cov, jnp.eye(d, dtype=dtype), (d, d))

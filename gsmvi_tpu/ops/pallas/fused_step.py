@@ -275,7 +275,9 @@ def _eps_update_core(e, v, mu, f, *, batch: int, jitter: float,
     """Shared kernel body: eps-coordinate update math on VMEM values.
 
     Returns (mu_new (1,D), f_new (D,D), good (bool scalar)).  Mirrors
-    ops/gsm_eps.py exactly (same formulas, HIGHEST matmul precision).
+    ops/gsm_eps.py exactly (same formulas, ALWAYS HIGHEST matmul precision
+    — this is the bit-comparable exact-check path, so the big_prec knob
+    deliberately does not reach it).
     """
     b = batch
     k2 = 2 * b

@@ -73,15 +73,21 @@ class Posterior:
 
     # -- serialization (serving artifact: two arrays, no pickle) ------------
     def save(self, path: str) -> None:
-        """Write the fitted Gaussian as an npz of (mean, chol)."""
+        """Write the fitted Gaussian as an npz of (mean, chol); ``.npz`` is
+        appended if missing (np.savez appends it silently on save, so load
+        must see the same name)."""
         import numpy as np
 
-        np.savez(path, mean=np.asarray(self.mean),
-                 chol=np.asarray(self.chol))
+        np.savez(path if path.endswith(".npz") else path + ".npz",
+                 mean=np.asarray(self.mean), chol=np.asarray(self.chol))
 
     @classmethod
     def load(cls, path: str) -> "Posterior":
+        import os
+
         import numpy as np
 
+        if not path.endswith(".npz") and not os.path.exists(path):
+            path = path + ".npz"
         with np.load(path) as z:
             return cls(z["mean"], z["chol"])

@@ -25,13 +25,21 @@ import numpy as np
 from ..state import VIState
 
 _FIELDS = ("mean", "cov", "chol", "key", "step", "n_accepted", "n_rejected")
+_FACTOR_FIELDS = ("mean", "factor", "finv", "key", "step", "n_accepted",
+                  "n_rejected")
 
 
-def save_state(path: str, state: VIState) -> None:
-    """Write a ``VIState`` to ``path`` (.npz appended if missing)."""
+def save_state(path: str, state) -> None:
+    """Write a ``VIState`` or ``FactorVIState`` to ``path`` (.npz appended
+    if missing).  Factor states save their REAL fields (factor/finv, not the
+    materialized cov/chol properties) so ``load_state`` round-trips to a
+    state that resumes a FactorGSM/FactorBaM fit exactly."""
+    fields = _FACTOR_FIELDS if hasattr(state, "factor") else _FIELDS
     # The key is handled separately: new-style typed PRNG keys reject
     # np.asarray, so they must never enter the generic comprehension.
-    arrays = {f: np.asarray(getattr(state, f)) for f in _FIELDS if f != "key"}
+    arrays = {f: np.asarray(getattr(state, f)) for f in fields if f != "key"}
+    if hasattr(state, "factor"):
+        arrays["_factor_state"] = np.asarray(True)
     key = state.key
     if hasattr(key, "dtype") and jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
         arrays["key"] = np.asarray(jax.random.key_data(key))
@@ -42,14 +50,26 @@ def save_state(path: str, state: VIState) -> None:
     np.savez(path if path.endswith(".npz") else path + ".npz", **arrays)
 
 
-def load_state(path: str) -> VIState:
-    """Load a ``VIState`` saved by ``save_state``."""
+def load_state(path: str):
+    """Load a ``VIState`` (or ``FactorVIState``) saved by ``save_state``."""
     if not path.endswith(".npz") and not os.path.exists(path):
         path = path + ".npz"
     with np.load(path) as data:
         key = jnp.asarray(data["key"])
         if "_key_typed" in data:
             key = jax.random.wrap_key_data(key)
+        if "_factor_state" in data:
+            from ..gsm_factor import FactorVIState
+
+            return FactorVIState(
+                mean=jnp.asarray(data["mean"]),
+                factor=jnp.asarray(data["factor"]),
+                finv=jnp.asarray(data["finv"]),
+                key=key,
+                step=jnp.asarray(data["step"]),
+                n_accepted=jnp.asarray(data["n_accepted"]),
+                n_rejected=jnp.asarray(data["n_rejected"]),
+            )
         return VIState(
             mean=jnp.asarray(data["mean"]),
             cov=jnp.asarray(data["cov"]),

@@ -108,6 +108,13 @@ class KLMonitor:
         if isinstance(key, (int, np.integer)):
             key = jax.random.PRNGKey(int(key))
         key, key_sample, key_idx = jax.random.split(key, 3)
+        # Exactly ONE (rkl, fkl) entry per checkpoint even on partial
+        # failure: an exception after rkl.append (e.g. lp raising on the
+        # forward-KL samples) must not double-append and desync the
+        # rkl/fkl/nevals ledgers.  (The reference has this bug,
+        # ``gsmvi/monitors.py:117-120``; the NaN-on-failure contract is
+        # kept, the ledger corruption is not.)
+        n_rkl, n_fkl = len(self.rkl), len(self.fkl)
         try:
             chol = safe_cholesky(jnp.asarray(cov))
             if bool(jnp.any(~jnp.isfinite(chol))):
@@ -130,6 +137,7 @@ class KLMonitor:
                 self.fkl.append(float("nan"))
         except Exception as e:  # parity: swallow + NaN (gsmvi/monitors.py:117-120)
             print(f"Exception occured in monitor : {e}.\nAppending NaN")
+            del self.rkl[n_rkl:], self.fkl[n_fkl:]
             self.rkl.append(float("nan"))
             self.fkl.append(float("nan"))
         if self.store_params:

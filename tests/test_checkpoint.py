@@ -58,3 +58,36 @@ def test_resume_via_state_kwarg(tmp_path):
     np.testing.assert_allclose(np.asarray(resumed.mean), np.asarray(full.mean),
                                atol=1e-12)
     assert int(resumed.step) == int(full.step)
+
+
+def test_factor_state_roundtrip_resumes_exactly(tmp_path):
+    """save_state on a FactorVIState must persist the REAL fields
+    (factor/finv) and load back a state that resumes the FactorGSM
+    trajectory exactly (regression: the generic path silently saved the
+    materialized cov/chol properties and load crashed resume)."""
+    import jax
+
+    from gsmvi_tpu import FactorGSM
+    from gsmvi_tpu.gsm_factor import FactorVIState
+    from gsmvi_tpu.models import dense_gaussian
+    from gsmvi_tpu.utils.checkpoint import load_state, save_state
+
+    t = dense_gaussian(jax.random.PRNGKey(0), 8)
+    fg = FactorGSM(D=8, lp=t.lp, lp_g=t.lp_g)
+    mid = fg.fit(jax.random.PRNGKey(1), niter=40, batch_size=8,
+                 verbose=False, return_state=True)
+    p = str(tmp_path / "factor_ckpt")
+    save_state(p, mid)
+    back = load_state(p)
+    assert isinstance(back, FactorVIState)
+    np.testing.assert_array_equal(np.asarray(back.factor),
+                                  np.asarray(mid.factor))
+
+    full = fg.fit(jax.random.PRNGKey(1), niter=80, batch_size=8,
+                  verbose=False, return_state=True)
+    resumed = fg.fit(jax.random.PRNGKey(99), niter=39, batch_size=8,
+                     verbose=False, state=back, return_state=True)
+    np.testing.assert_allclose(np.asarray(resumed.mean),
+                               np.asarray(full.mean), rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(resumed.factor),
+                               np.asarray(full.factor), rtol=1e-6, atol=1e-8)

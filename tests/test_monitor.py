@@ -148,3 +148,27 @@ def test_monitor_store_params(target):
     assert len(mon.params_trace) == len(mon.rkl)
     m0, c0 = mon.params_trace[0]
     assert m0.shape == (t.d,) and c0.shape == (t.d, t.d)
+
+
+def test_monitor_ledgers_stay_aligned_when_lp_fails_mid_checkpoint():
+    """Regression: an exception AFTER rkl.append (lp raising on the
+    forward-KL reference samples) must yield exactly one (NaN) entry per
+    ledger, not a double rkl append that desyncs rkl/fkl/nevals."""
+    import jax
+
+    from gsmvi_tpu.utils.monitors import KLMonitor
+
+    calls = {"n": 0}
+
+    def flaky_lp(x):
+        calls["n"] += 1
+        if calls["n"] > 1:          # first call (reverse KL) ok, second dies
+            raise RuntimeError("boom")
+        return np.zeros(x.shape[0])
+
+    mon = KLMonitor(batch_size_kl=8, checkpoint=1,
+                    ref_samples=np.random.default_rng(0).normal(size=(32, 4)))
+    mon(0, [np.zeros(4), np.eye(4)], flaky_lp, jax.random.PRNGKey(0),
+        nevals=1)
+    assert len(mon.rkl) == 1 and len(mon.fkl) == 1 and len(mon.nevals) == 1
+    assert np.isnan(mon.rkl[0]) and np.isnan(mon.fkl[0])
