@@ -44,7 +44,10 @@ NITER_BAM = {64: 16000, 256: 8000, 512: 2000, 1024: 3000}
 NITER_ADVI = {64: 60000, 256: 40000, 512: 4000, 1024: 8000}
 NITER_BASE = 150
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "2700"))
-SMOKE = bool(os.environ.get("BENCH_SMOKE"))
+# "0"/"false" must mean OFF: bool("0") is True, and an accidental smoke
+# run records a corrupted primary metric (no cell converges at 50 iters).
+SMOKE = os.environ.get("BENCH_SMOKE", "") not in ("", "0", "false",
+                                                  "False")
 _T0 = time.time()
 
 
@@ -185,8 +188,11 @@ def bench_matrix(targets):
         import optax
 
         g = ADVI(D=t.d, lp=t.lp)
+        # return_losses=False: the loss-trace host transfer scales with n
+        # and would NOT cancel in the differential timing.
         return lambda n: g.fit(jax.random.PRNGKey(0), optax.adam(1e-2),
-                               niter=n, batch_size=B, verbose=False)[:2]
+                               niter=n, batch_size=B, verbose=False,
+                               return_losses=False)[:2]
 
     ds = [64, 256] if SMOKE else [64, 256, 1024]
     for d in ds:

@@ -127,12 +127,17 @@ class ADVI:
         return step
 
     def fit(self, key, opt, mean=None, cov=None, batch_size=8, niter=1000,
-            nprint=10, verbose=True, monitor=None, return_state=False):
+            nprint=10, verbose=True, monitor=None, return_state=False,
+            return_losses=True):
         """Run the fit; signature parity with reference ``gsmvi/advi.py:47``.
 
         Returns (mean, cov, losses) — three values, unlike GSM/BaM, matching
         the reference (``gsmvi/advi.py:112``).  ``losses`` is a numpy array of
-        length ``niter + 1``.
+        length ``niter + 1``; with ``return_losses=False`` it is ``None`` and
+        the per-step loss trace is neither stacked on device nor transferred
+        to host — the throughput-measurement / serving mode (the transfer
+        scales with niter, so it would otherwise contaminate differential
+        timings).
         """
         dtype = self.dtype
         if mean is None:
@@ -162,10 +167,13 @@ class ADVI:
         # ``opt`` is identity-keyed; RunnerCache pins it against id reuse.
         # The step closure is only built on a cache miss.
         run_chunk = self._runners.get(
-            (batch_size,), (opt,),
-            lambda: make_chunk_runner(self._make_step(batch_size, opt),
-                                      collect_aux=True))
-        state, losses = run_fit_loop(
+            (batch_size, return_losses), (opt,),
+            lambda: make_chunk_runner(
+                (self._make_step(batch_size, opt) if return_losses
+                 else (lambda step: (lambda s: step(s)[0]))(
+                     self._make_step(batch_size, opt))),
+                collect_aux=return_losses))
+        out = run_fit_loop(
             None,  # cached run_chunk carries the body
             state,
             niter,
@@ -176,9 +184,13 @@ class ADVI:
             verbose=verbose,
             batch_size=batch_size,
             run_chunk=run_chunk,
-            collect_aux=True,
+            collect_aux=return_losses,
         )
-        losses = np.asarray(losses)
+        if return_losses:
+            state, losses = out
+            losses = np.asarray(losses)
+        else:
+            state, losses = out, None
         if return_state:
             return state, losses
         return state.loc, self.scales_to_cov(state.scales), losses

@@ -7,7 +7,10 @@ must happen before jax initializes a backend, hence module scope here.
 
 import os
 
-ON_TPU = bool(os.environ.get("TESTS_ON_TPU"))
+# "0"/"false" must mean OFF (bool("0") is True — a footgun that would
+# silently point the whole suite at the minutes-slow tunneled TPU).
+ON_TPU = os.environ.get("TESTS_ON_TPU", "") not in ("", "0", "false",
+                                                    "False")
 
 if not ON_TPU:
     os.environ["XLA_FLAGS"] = (

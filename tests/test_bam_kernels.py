@@ -82,10 +82,12 @@ def test_output_positive_definite(rng):
 def test_batch_stats_match_naive(rng):
     x, v, mu0, s0 = random_problem(rng, 6, 5)
     xbar, c, gbar, g = bam_batch_stats(jnp.asarray(x), jnp.asarray(v))
-    _, _, u_ref, v_ref = oracle_bam(x, v, mu0, s0, 1.0)
     c_ref = sum(np.outer(r, r) for r in x - x.mean(0)) / x.shape[0]
+    g_ref = sum(np.outer(r, r) for r in v - v.mean(0)) / v.shape[0]
     np.testing.assert_allclose(c, c_ref, atol=1e-10)
     np.testing.assert_allclose(xbar, x.mean(0), atol=1e-12)
+    np.testing.assert_allclose(g, g_ref, atol=1e-10)
+    np.testing.assert_allclose(gbar, v.mean(0), atol=1e-12)
 
 
 def test_reg_to_zero_keeps_prior(rng):

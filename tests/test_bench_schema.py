@@ -34,10 +34,9 @@ def test_bench_main_emits_valid_schema(monkeypatch, capsys):
 
 
 def test_time_fit_prefers_fastest_attempt(monkeypatch):
-    """Noise only inflates time: the estimator must keep the best of its
-    timed attempts and cap at 2x the single-run rate."""
-    import itertools
-
+    """Noise only inflates time: the estimator must keep the BEST of its two
+    timed attempts (a stalled attempt must not win) and cap the differential
+    at 2x the single-run rate."""
     import bench
 
     class T:
@@ -45,11 +44,22 @@ def test_time_fit_prefers_fastest_attempt(monkeypatch):
         mean = np.zeros(4)
         cov = np.eye(4)
 
-    # run(n) returns instantly; timing controlled via perf_counter stub.
-    # Sequence: warm, warm, then attempt1 (slow t1/t2), attempt2 (fast).
-    times = itertools.count(step=0.001)
-    monkeypatch.setattr(bench.time, "perf_counter",
-                        lambda: next(times))
+    # perf_counter consumed as: [t0,t1-end] x (n1 then n2) per attempt.
+    # Attempt 1 (stalled): n1 takes 1 s, n2 takes 11 s -> diff
+    #   (100-25)/(11-1) = 7.5 it/s.  Attempt 2 (clean): n1 0.25 s, n2 1 s
+    #   -> diff 75/0.75 = 100 it/s.  Best must be 100, not 7.5.
+    seq = iter([0.0, 1.0,   1.0, 12.0,     # attempt 1: t1=1, t2=11
+                12.0, 12.25, 12.25, 13.25])  # attempt 2: t1=0.25, t2=1
+    monkeypatch.setattr(bench.time, "perf_counter", lambda: next(seq))
     ips, em, ec = bench._time_fit(
         lambda n: (np.zeros(4), np.eye(4)), 100, T())
-    assert ips > 0 and np.isfinite(ips)
+    assert ips == 100.0
+
+    # Cap: t2 barely above t1 -> raw diff 75/0.01 = 7500 it/s, but single
+    # = 101/1.01 ~ 100 -> capped at 2x single ~ 200.
+    seq = iter([0.0, 1.0, 1.0, 2.01,
+                3.0, 4.0, 4.0, 5.01])
+    monkeypatch.setattr(bench.time, "perf_counter", lambda: next(seq))
+    ips, em, ec = bench._time_fit(
+        lambda n: (np.zeros(4), np.eye(4)), 100, T())
+    assert abs(ips - 2.0 * (101 / 1.01)) < 1e-6

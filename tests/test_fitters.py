@@ -125,3 +125,23 @@ class TestADVIFit:
             jax.random.PRNGKey(1), optax.adam(1e-3), mean=t.mean, cov=t.cov,
             batch_size=32, niter=200, verbose=False)
         np.testing.assert_allclose(mean, t.mean, atol=5e-2)
+
+
+def test_advi_return_losses_false_same_trajectory():
+    """return_losses=False must skip the loss trace (None) without touching
+    the optimization trajectory."""
+    import optax
+
+    from gsmvi_tpu import ADVI
+    from gsmvi_tpu.models import dense_gaussian
+
+    t = dense_gaussian(jax.random.PRNGKey(0), 6)
+    kw = dict(niter=60, batch_size=8, verbose=False)
+    a1 = ADVI(D=6, lp=t.lp)
+    m1, c1, l1 = a1.fit(jax.random.PRNGKey(1), optax.adam(1e-2), **kw)
+    a2 = ADVI(D=6, lp=t.lp)
+    m2, c2, l2 = a2.fit(jax.random.PRNGKey(1), optax.adam(1e-2),
+                        return_losses=False, **kw)
+    assert l1.shape == (61,) and l2 is None
+    np.testing.assert_allclose(np.asarray(m2), np.asarray(m1), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(c2), np.asarray(c1), atol=1e-10)

@@ -1,6 +1,7 @@
 """Driver contract: entry() jits and runs; dryrun_multichip works on the
 virtual CPU mesh."""
 
+import os
 import sys
 
 import jax
@@ -10,9 +11,15 @@ import pytest
 
 @pytest.fixture(scope="module")
 def graft():
-    sys.path.insert(0, ".")
-    import __graft_entry__ as g
-    return g
+    # Repo root from __file__, not cwd: the driver-contract tests must work
+    # from any invocation directory.
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    try:
+        import __graft_entry__ as g
+        yield g
+    finally:
+        sys.path.remove(repo)
 
 
 def test_entry_compiles_and_runs(graft):
