@@ -1,13 +1,20 @@
 """Benchmark: TPU-native fit throughput across the full fitter x D matrix.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "matrix": {...}}
+Output contract (round-2 lesson: the driver records only a bounded TAIL of
+stdout, and embedding the full matrix in the final line truncated it to
+unparseable — BENCH_r02.json lost the round's headline number):
+
+1. the full evidence matrix is written to ``BENCH_MATRIX.json`` next to this
+   file AND printed as its own (early) stdout line;
+2. the LAST stdout line is a SHORT one-line JSON — only
+   {"metric", "value", "unit", "vs_baseline", "path", "baseline_iters_per_s"}
+   — guaranteed to survive any tail window >= ~200 bytes.
 
 The primary metric is GSM iters/s at D=256, B=32 (the BASELINE.json
 north-star axis), measured on the fastest GSM path this build ships.  The
-``matrix`` field carries the whole evidence grid the round-1 review asked
-for: {gsm, gsm_fused, factor_gsm, bam, bam_lowrank, factor_bam, advi} x
-D in {64, 256, 1024} with iters/s, score-evals/s/chip and final moment
+matrix carries the whole evidence grid the round-1 review asked for:
+{gsm, gsm_fused, factor_gsm, bam, bam_fused, bam_lowrank, factor_bam, advi}
+x D in {64, 256, 1024} with iters/s, score-evals/s/chip and final moment
 errors, plus the ill-conditioned D=512 target.
 
 The baseline is the reference's *structure* re-staged faithfully on this
@@ -64,6 +71,38 @@ def _setup_cache():
                       os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                    ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
+_SENTINEL = {"fn": None, "quiet_ms": None}
+
+
+def _dispatch_ms():
+    """Host->device->host round-trip of a trivial jitted op, in ms (min of 3).
+
+    On the tunneled device this is ~35 ms quiet; host contention (another
+    process starving the dispatch thread — the round-2 failure mode that
+    deflated BaM/ADVI cells 3-5x) inflates it well before it corrupts a
+    differential timing, so it doubles as a cheap contention probe."""
+    import jax
+    import jax.numpy as jnp
+
+    if _SENTINEL["fn"] is None:
+        _SENTINEL["fn"] = jax.jit(lambda x: x + 1.0)
+        np.asarray(_SENTINEL["fn"](jnp.zeros(())))  # compile outside timing
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(_SENTINEL["fn"](jnp.zeros(())))
+        ts.append(time.perf_counter() - t0)
+    return 1000.0 * min(ts)
+
+
+def _contended():
+    """True when the dispatch sentinel reads >2x its quiet-machine floor."""
+    if _SENTINEL["quiet_ms"] is None:
+        _SENTINEL["quiet_ms"] = _dispatch_ms()
+    return _dispatch_ms() > max(2.0 * _SENTINEL["quiet_ms"],
+                                _SENTINEL["quiet_ms"] + 15.0)
 
 
 def _targets():
@@ -143,12 +182,23 @@ def bench_matrix(targets):
                  else NITER_BAM if "bam" in name else NITER)
         niter = table[t.d] if not SMOKE else 50
         try:
-            ips, em, ec = _time_fit(maker(t), niter, t)
+            run = maker(t)
+            flagged = _contended()
+            ips, em, ec = _time_fit(run, niter, t)
+            if flagged or _contended():
+                # Contended window: one retry (rates only deflate under
+                # contention, so keep the max), then flag if still hot.
+                time.sleep(2.0)
+                ips2, em, ec = _time_fit(run, niter, t)
+                ips = max(ips, ips2)
+                flagged = _contended()
             cell = {
                 "iters_per_s": round(ips, 1),
                 "score_evals_per_s": round(ips * B, 1),
                 "mean_err": em, "cov_err": ec,
             }
+            if flagged:
+                cell["contended"] = True
             if name == "advi":
                 # ELBO/Adam convergence on these stiff targets is method-
                 # limited (the covariance scale must grow ~30x through
@@ -263,6 +313,24 @@ def main():
             candidates.append((cell["iters_per_s"], name))
     best_ips, best_name = max(candidates) if candidates else (0.0, "none")
 
+    # Full evidence grid: a file + its own stdout line, BEFORE the final
+    # metric line (the driver's tail window truncated an embedded matrix in
+    # round 2 — VERDICT.md weak #1).
+    full = {"artifact": "bench_matrix",
+            "baseline_iters_per_s": round(base_ips, 2),
+            "sentinel_quiet_ms": (round(_SENTINEL["quiet_ms"], 1)
+                                  if _SENTINEL["quiet_ms"] else None),
+            "matrix": matrix}
+    matrix_path = os.environ.get("BENCH_MATRIX_PATH") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_MATRIX.json")
+    try:
+        with open(matrix_path, "w") as fh:
+            json.dump(full, fh, indent=1)
+    except OSError:
+        pass
+    print(json.dumps(full), flush=True)
+
+    # LAST line: short, parse-safe under any bounded tail capture.
     print(json.dumps({
         "metric": f"gsm_iters_per_s_d{PRIMARY_D}_b{B}",
         "value": round(best_ips, 2),
@@ -270,8 +338,7 @@ def main():
         "vs_baseline": round(best_ips / base_ips, 2) if base_ips else None,
         "path": best_name,
         "baseline_iters_per_s": round(base_ips, 2),
-        "matrix": matrix,
-    }))
+    }), flush=True)
 
 
 if __name__ == "__main__":

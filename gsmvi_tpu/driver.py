@@ -51,8 +51,10 @@ class RunnerCache:
     ids after garbage collection, so a new object could silently hit a stale
     compiled closure.  This cache therefore stores a *strong reference* to
     every keyed object alongside its runner — while an entry lives, its ids
-    cannot be reused — and evicts FIFO beyond ``maxsize`` (dropping the entry
-    releases the object and its compiled runner together).
+    cannot be reused — and evicts least-recently-USED beyond ``maxsize``
+    (entries refresh on hit, so a long-lived process alternating among more
+    than ``maxsize`` configs keeps its hottest runners compiled; dropping an
+    entry releases the object and its compiled runner together).
     """
 
     def __init__(self, maxsize: int = 16):
@@ -63,6 +65,8 @@ class RunnerCache:
         key = (static_key, tuple(id(o) for o in key_objs))
         hit = self._entries.get(key)
         if hit is not None:
+            self._entries.pop(key)       # refresh: move to MRU end
+            self._entries[key] = hit
             return hit[1]
         runner = build()
         if len(self._entries) >= self._maxsize:

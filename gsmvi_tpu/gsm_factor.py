@@ -142,7 +142,10 @@ class FactorGSM:
             return None
         if self.dtype != jnp.float32 or not on_tpu():
             return None
-        if not fused_supported(batch_size, self.D):
+        param_shapes = (
+            [tuple(p.shape) for p in self.pallas_score[1]]
+            if self.pallas_score is not None else None)
+        if not fused_supported(batch_size, self.D, param_shapes=param_shapes):
             return None
         if self.use_pallas == "auto" or self.use_pallas is True:
             return "step" if self.pallas_score is not None else "update"

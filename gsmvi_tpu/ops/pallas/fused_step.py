@@ -63,22 +63,38 @@ def _compiler_params(interpret: bool):
     return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT_BYTES)
 
 
-def fused_supported(b: int, d: int, itemsize: int = 4) -> bool:
+def fused_supported(b: int, d: int, itemsize: int = 4,
+                    param_shapes=None) -> bool:
     """Gate: shapes the single-program kernel handles well.
 
     2B x 2B small tiles want sublane alignment (B multiple of 4); the row
-    tensors, both D x D mats, and a D x D score param (e.g. the analytic
-    precision) must fit the raised scoped-VMEM cap alongside ~12 (B, D)
-    intermediates.
+    tensors, both D x D mats, and the score params must fit the raised
+    scoped-VMEM cap alongside ~12 (B, D) intermediates.
+
+    ``param_shapes`` — shapes of the ``pallas_score`` parameter arrays; the
+    budget uses their REAL byte sizes (a logreg xdata (N, D) or GMM means
+    (K, D) can dwarf the default D x D assumption and must fall back to XLA
+    rather than fail Mosaic compilation near the cap).  Default: one D x D
+    param (the analytic-Gaussian precision).
     """
     if not _HAS_PLTPU:
         return False
     if b < 4 or b % 4 != 0:
         return False
+    if param_shapes is None:
+        param_bytes = d * d * itemsize
+    else:
+        param_bytes = 0
+        for shp in param_shapes:
+            n = 1
+            for s in shp:
+                n *= max(int(s), 1)
+            # Mosaic pads the trailing two dims to the (8, 128) tile.
+            param_bytes += max(n, 8 * 128) * itemsize
     # 6x D^2: f in/out + the multi-step fori_loop's carry double-buffering;
-    # +1 D^2 for score params (gaussian precision).
-    vmem = 7 * d * d * itemsize + 16 * b * d * itemsize \
-        + 8 * (2 * b) * (2 * b) * itemsize
+    # + the score params at their real sizes.
+    vmem = 6 * d * d * itemsize + 16 * b * d * itemsize \
+        + 8 * (2 * b) * (2 * b) * itemsize + 2 * param_bytes
     return vmem < _VMEM_LIMIT_BYTES
 
 

@@ -24,18 +24,27 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
     ``initialize_distributed(auto=True)`` is the whole multi-host setup.
     Explicit arguments are for non-TPU clusters.  Safe to call when already
     initialized (no-op) and when single-process (returns False).
+
+    Failure semantics: with EXPLICIT arguments a failed initialization
+    raises (a misconfigured pod must not silently fall back to
+    single-process fitting); with ``auto=True`` discovery failures return
+    False, since auto mode legitimately runs single-process.
     """
     already = getattr(jax.distributed, "is_initialized", None)
     if callable(already) and already():
         return jax.process_count() > 1
     if not (auto or coordinator_address or num_processes):
         return False
+    explicit = (coordinator_address is not None
+                or num_processes is not None or process_id is not None)
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
-        return jax.process_count() > 1
     except Exception:
+        if explicit:
+            raise
         return False
+    return jax.process_count() > 1

@@ -87,7 +87,11 @@ class Posterior:
 
         import numpy as np
 
-        if not path.endswith(".npz") and not os.path.exists(path):
-            path = path + ".npz"
+        if not path.endswith(".npz"):
+            # save() always writes ``path + '.npz'`` — prefer that over an
+            # unrelated extensionless file that happens to share the name.
+            cand = path + ".npz"
+            if os.path.exists(cand) or not os.path.exists(path):
+                path = cand
         with np.load(path) as z:
             return cls(z["mean"], z["chol"])
