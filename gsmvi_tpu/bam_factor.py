@@ -30,15 +30,20 @@ but stalls the MEAN on such targets — see ops/bam_eps.py for the analysis.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
 from .distributions import safe_cholesky
 from .driver import RunnerCache, is_traceable, make_chunk_runner, \
-    run_fit_loop
+    on_tpu, run_fit_loop
 from .gsm_factor import FactorVIState
 from .ops.bam_eps import bam_eps_update
 from .ops.gsm_factor import factor_to_cov
+from .ops.pallas.bam_fused import (BAM_NS_ITERS_DEFAULT, LMAX_GATE_DEFAULT,
+                                   bam_eps_update_fused, bam_fused_supported,
+                                   make_fused_bam_multistep)
 from .parallel.mesh import data_sharding
 
 
@@ -46,7 +51,22 @@ class FactorBaM:
     """Fit a dense-covariance Gaussian by BaM updates on factor state."""
 
     def __init__(self, D, lp, lp_g, mesh=None, data_axis: str = "data",
-                 dtype=None, solver: str = "svd"):
+                 dtype=None, solver: str = "svd",
+                 use_pallas: "bool | str" = "auto", pallas_score=None,
+                 steps_per_call=None, lmax_gate: float = LMAX_GATE_DEFAULT,
+                 ns_iters=BAM_NS_ITERS_DEFAULT):
+        """``use_pallas`` ("auto"/True/False) fuses the BaM step into Pallas
+        kernels on TPU (ops/pallas/bam_fused.py): with ``pallas_score`` (a
+        ``(score_fn, params)`` pair, e.g. ``target.pallas_score``) the whole
+        iteration — sampling matmul, score, rank-(B+1) update, validity —
+        runs ``steps_per_call`` sub-steps per kernel; otherwise only the
+        update+check+select fuse.  Steps whose small-space Gram exceeds
+        ``lmax_gate`` (the f32-resolvable bound, see bam_fused.py) are
+        detected in-kernel and REPLAYED on the XLA SVD path with the same
+        draw, so stiff early iterations keep SVD-grade accuracy while
+        steady-state throughput is the fused kernel's.  Trajectories on the
+        fused path draw eps per absolute step index (``fold_in(key, step)``)
+        and are invariant to ``steps_per_call`` and chunk cadence."""
         self.D = D
         self.lp = lp
         self.lp_g = lp_g
@@ -58,31 +78,105 @@ class FactorBaM:
         # docstring); "eigh" is ~70 us/step cheaper on v5e but squares the
         # condition number.
         self.solver = solver
+        self.use_pallas = use_pallas
+        self.pallas_score = pallas_score
+        self.steps_per_call = (steps_per_call if steps_per_call is not None
+                               else (16 if D <= 128 else 8))
+        self.lmax_gate = float(lmax_gate)
+        self.ns_iters = tuple(ns_iters)
+        # Tests drive the fused path on CPU via pallas interpret mode
+        # (plus monkeypatched on_tpu); not part of the public surface.
+        self._interpret = False
         self._runners = RunnerCache()
 
-    def _make_step(self, batch_size: int, regf, retries: int):
+    def _pallas_mode(self, batch_size: int):
+        """None | "update" | "step" — which fused kernel this config uses."""
+        if self.mesh is not None or self.use_pallas is False:
+            return None
+        if self.dtype != jnp.float32 or not on_tpu():
+            return None
+        param_shapes = (
+            [tuple(p.shape) for p in self.pallas_score[1]]
+            if self.pallas_score is not None else None)
+        spc = self.steps_per_call if self.pallas_score is not None else 1
+        if not bam_fused_supported(batch_size, self.D, steps_per_call=spc,
+                                   param_shapes=param_shapes):
+            return None
+        if self.use_pallas == "auto" or self.use_pallas is True:
+            return "step" if self.pallas_score is not None else "update"
+        return None
+
+    def _make_step(self, batch_size: int, regf, retries: int,
+                   allow_pallas: bool = True):
         lp_g = self.lp_g
         d = self.D
         dtype = self.dtype
         solver = self.solver
         sharding = (data_sharding(self.mesh, self.data_axis)
                     if self.mesh is not None else None)
+        mode = self._pallas_mode(batch_size) if allow_pallas else None
 
-        def attempt(key, state):
+        def attempt(key, state, eps=None):
+            """One sample->score->SVD-update attempt.  With ``eps`` given the
+            draw is reused (stiff-replay: identical sample, exact
+            semantics); otherwise a fresh draw is split off ``key``."""
             with jax.default_matmul_precision("float32"):
-                key, key_sample = jax.random.split(key)
-                eps = jax.random.normal(key_sample, (batch_size, d), dtype)
-                if sharding is not None:
-                    eps = jax.lax.with_sharding_constraint(eps, sharding)
+                if eps is None:
+                    key, key_sample = jax.random.split(key)
+                    eps = jax.random.normal(key_sample, (batch_size, d),
+                                            dtype)
+                    if sharding is not None:
+                        eps = jax.lax.with_sharding_constraint(eps, sharding)
                 samples = state.mean + eps @ state.factor.T
-                vs = lp_g(samples)
+                # Pin the score to the state dtype: a user lp_g emitting f64
+                # under global x64 would otherwise promote the whole carry.
+                vs = lp_g(samples).astype(dtype)
                 reg = jnp.asarray(regf(state.step), dtype)
                 mean_new, f_new, good = bam_eps_update(
                     eps, vs, state.mean, state.factor, reg, solver=solver)
-                return key, mean_new, f_new, good
+                return key, mean_new.astype(dtype), f_new.astype(dtype), good
+
+        if mode == "update":
+            lmax_gate = self.lmax_gate
+            ns_iters = self.ns_iters
+
+            def fused_attempt(key, state):
+                """Fused-kernel attempt; stiff steps recompute through the
+                XLA SVD path with the SAME eps (bit-identical semantics to
+                the pure-XLA trajectory on those steps)."""
+                with jax.default_matmul_precision("float32"):
+                    key, key_sample = jax.random.split(key)
+                    eps = jax.random.normal(key_sample, (batch_size, d),
+                                            dtype)
+                    samples = state.mean + eps @ state.factor.T
+                    # The kernel is f32; pin the score dtype so the XLA
+                    # replay branch (same inputs) has identical output types
+                    # (user lp_g may emit f64 under global x64).
+                    vs = lp_g(samples).astype(jnp.float32)
+                    reg = jnp.asarray(regf(state.step), dtype)
+                    mu_p, f_p, good, stiff = bam_eps_update_fused(
+                        eps, vs, state.mean, state.factor, reg,
+                        iters=ns_iters, lmax_gate=lmax_gate,
+                        interpret=self._interpret)
+
+                    def svd_branch(_):
+                        mu_s, f_s, good_s = bam_eps_update(
+                            eps, vs, state.mean, state.factor, reg,
+                            solver=solver)
+                        return (mu_s.astype(jnp.float32),
+                                f_s.astype(jnp.float32), good_s)
+
+                    mu_p, f_p, good = jax.lax.cond(
+                        stiff, svd_branch,
+                        lambda _: (mu_p, f_p, good), None)
+                    return key, mu_p, f_p, good
+
+            first_attempt = fused_attempt
+        else:
+            first_attempt = attempt
 
         def step(state: FactorVIState) -> FactorVIState:
-            key, mean_new, f_new, good = attempt(state.key, state)
+            key, mean_new, f_new, good = first_attempt(state.key, state)
 
             if retries > 0:
                 # Reference semantics: resample within the same iteration on
@@ -109,6 +203,104 @@ class FactorBaM:
 
         return step
 
+    def _make_fused_runner(self, batch_size: int, regf, retries: int,
+                           interpret: bool = False):
+        """Chunk runner on the whole-step multistep kernel (mode "step").
+
+        Per while-iteration: draw the eps block for the next
+        ``steps_per_call`` absolute step indices (``fold_in(key, step)`` —
+        the trajectory is invariant to spc/chunk cadence and exactly
+        reproducible at the XLA level), run the kernel, then — if it stopped
+        on a stiff or (retries>0) rejected sub-step — REPLAY that one step
+        through the XLA SVD path with the identical draw, plus the
+        reference's resample-retry loop (``gsmvi/bam.py:188-206``)."""
+        score_fn, params = self.pallas_score
+        spc = self.steps_per_call
+        d = self.D
+        lp_g = self.lp_g
+        solver = self.solver
+        multi = make_fused_bam_multistep(
+            score_fn, len(params), batch_size, d, spc, iters=self.ns_iters,
+            lmax_gate=self.lmax_gate,
+            interpret=interpret or self._interpret)
+        stop_on_reject = 1 if retries > 0 else 0
+
+        @partial(jax.jit, static_argnums=1)
+        def run_chunk(state, k):
+            key = state.key
+            step0 = state.step
+
+            def eps_for(s):
+                return jax.random.normal(jax.random.fold_in(key, s),
+                                         (batch_size, d), jnp.float32)
+
+            def body(state):
+                steps = state.step + jnp.arange(spc, dtype=jnp.int32)
+                regs = jax.vmap(
+                    lambda s: jnp.asarray(regf(s), jnp.float32))(steps)
+                eps_block = jax.vmap(eps_for)(steps)
+                nmax = jnp.minimum(jnp.int32(spc),
+                                   jnp.int32(k) - (state.step - step0))
+                mu, f, n_done, n_acc, stopped = multi(
+                    regs, nmax, stop_on_reject, eps_block,
+                    state.mean, state.factor, *params)
+                state = FactorVIState(
+                    mu, f, state.finv, key, state.step + n_done,
+                    state.n_accepted + n_acc,
+                    state.n_rejected + (n_done - n_acc))
+
+                def replay(s):
+                    with jax.default_matmul_precision("float32"):
+                        reg = jnp.asarray(regf(s.step), jnp.float32)
+
+                        def svd_attempt(eps, s):
+                            vs = lp_g(s.mean + eps @ s.factor.T)
+                            mu_n, f_n, good = bam_eps_update(
+                                eps, vs.astype(jnp.float32), s.mean,
+                                s.factor, reg, solver=solver)
+                            return (mu_n.astype(jnp.float32),
+                                    f_n.astype(jnp.float32), good)
+
+                        # First attempt reuses the kernel's own draw for
+                        # this step (exact-parity replacement of the stiff
+                        # result, not a resample).
+                        mu_n, f_n, good = svd_attempt(eps_block[n_done], s)
+                        if retries > 0:
+                            # Retry stream: negative fold indices, disjoint
+                            # from the per-step eps stream.
+                            rkey = jax.random.fold_in(key, -s.step - 1)
+
+                            def cond(c):
+                                _, _, _, good, tries = c
+                                return jnp.logical_and(~good,
+                                                       tries < retries)
+
+                            def rbody(c):
+                                rkey, _, _, _, tries = c
+                                rkey, ks = jax.random.split(rkey)
+                                eps = jax.random.normal(
+                                    ks, (batch_size, d), jnp.float32)
+                                mu_n, f_n, good = svd_attempt(eps, s)
+                                return rkey, mu_n, f_n, good, tries + 1
+
+                            _, mu_n, f_n, good, _ = jax.lax.while_loop(
+                                cond, rbody,
+                                (rkey, mu_n, f_n, good,
+                                 jnp.zeros((), jnp.int32)))
+                        g32 = good.astype(jnp.int32)
+                        return FactorVIState(
+                            jnp.where(good, mu_n, s.mean),
+                            jnp.where(good, f_n, s.factor),
+                            s.finv, key, s.step + 1,
+                            s.n_accepted + g32, s.n_rejected + (1 - g32))
+
+                return jax.lax.cond(stopped > 0, replay, lambda s: s, state)
+
+            return jax.lax.while_loop(
+                lambda s: s.step - step0 < k, body, state)
+
+        return run_chunk
+
     def fit(self, key, regf, mean=None, cov=None, batch_size=2, niter=5000,
             nprint=10, verbose=True, check_goodness=True, monitor=None,
             retries=10, jitter=None, return_state=False, state=None):
@@ -129,10 +321,14 @@ class FactorBaM:
         if not is_traceable(self.lp_g, probe):
             raise TypeError("FactorBaM requires a jax-traceable lp_g; "
                             "use BaM for plain-numpy score functions")
+        mode = self._pallas_mode(batch_size)
         run_chunk = self._runners.get(
-            (batch_size, retries), (regf,),
-            lambda: make_chunk_runner(
-                self._make_step(batch_size, regf, retries)))
+            (batch_size, retries, mode, self.steps_per_call,
+             self._interpret), (regf,),
+            lambda: (self._make_fused_runner(batch_size, regf, retries)
+                     if mode == "step" else
+                     make_chunk_runner(
+                         self._make_step(batch_size, regf, retries))))
         state = run_fit_loop(
             None,  # cached run_chunk carries the body
             state,

@@ -1,0 +1,388 @@
+"""Fully-fused BaM whole-step Pallas kernels (the BaM analog of
+fused_step.py — VERDICT r2 item #2).
+
+ops/bam_eps.py already reduces the BaM iteration (reference
+``gsmvi/bam.py:31-69``) to factor coordinates: the proposal covariance is the
+congruence  S = F W1 (I + Ytil diag(w) Ytil^T) W1^T F^T  where the only
+spectral object is the small Gram of Y = W1^T F^T FU (D x (B+1)).  Its XLA
+implementation resolves that spectrum by a thin SVD of Y — accurate at
+kappa(Y), which is what makes stiff f32 fits converge, but costing ~140 us
+in-scan on v5e (the whole step budget at 40k it/s is 25 us).
+
+This module instead evaluates the spectral map as a MATRIX FUNCTION of the
+Gram G = Y^T Y with matmul-only Newton-Schulz chains (MXU-friendly, fusable
+into one kernel).  The per-eigenvalue weight applied to Y is
+
+    psi(l) = (sqrt(sigma(l)) - 1) / l,   sigma(l) = 2 / (1 + sqrt(1 + 4 l)),
+
+which is regular at l = 0 and, eliminating the division (all terms commute),
+
+    psi(G) = -4 (I + s)^{-2} (I + sqrt(2) (I + s)^{-1/2})^{-1},
+    s = sqrt(I + 4 G),  sqrt(sigma(G)) = sqrt(2) (I + s)^{-1/2}
+
+— two Newton-Schulz square roots and one Newton-Hotelling inverse of a
+matrix with spectrum in (1, 2].  The proposal is then
+
+    F' = F W1 (I + Y psi(G) Y^T),
+    W1 = I + Om ((I + sqrt(I + Om^T Om))^{-1}) Om^T.
+
+STIFFNESS GATE.  Forming G in f32 perturbs its spectrum by ~eps_f32 *
+lmax(G) ABSOLUTELY; the weights vary fastest near l ~ 1, so when
+lmax >~ 1e4 the map silently mis-contracts O(1)-eigenvalue directions —
+the exact failure mode that stalled the Gram-eigh solver's mean on stiff
+targets (ops/bam_eps.py docstring; only a kappa-accurate factorization of Y
+itself, SVD/QR, survives that regime).  The kernel therefore computes a
+cheap upper bound on lmax(G) (row-sum norm) and flags the step STIFF above
+``lmax_gate`` instead of accepting a silently-biased update.  The fitter
+replays flagged steps through the XLA SVD path (ops/bam_eps.py) — stiffness
+is an early-fit transient (lmax ~ reg * |F^T score|^2 / B decays with the
+regularizer schedule and as F adapts), so steady-state throughput is the
+fused kernel's.
+
+Reference math being matched: ``/root/reference/gsmvi/bam.py:31-69``
+(bam_update), via the exact low-rank algebra of ops/bam_eps.py; equivalence
+is pinned in tests/test_bam_fused.py against both the XLA SVD path and an
+f64 closed-form oracle.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from .fused_step import (_HAS_PLTPU, _HI, _VMEM_LIMIT_BYTES, _boxmuller,
+                         _compiler_params, _newton_inv, _ns_sqrt,
+                         _spd_norm_ub)
+
+if _HAS_PLTPU:
+    from jax.experimental.pallas import tpu as pltpu
+else:  # pragma: no cover
+    pltpu = None
+
+# Newton-Schulz sweep counts (u_sqrt, cu_inv, s1_sqrt, p_invsqrt, w_inv) for
+# the five small-space solves.  Sized for the gated regime (lmax(G) and
+# lmax(Om^T Om) <= ~LMAX_GATE_DEFAULT, so cond(I + 4G) <= ~4e4): NS sqrt
+# warm-up is conditioning-bound at ~log2(cond) + margin sweeps (the repo's
+# measured rule — 20 sweeps at cond 1e4, tests/test_bam_eps.py), the
+# (I + s)^{-1/2} chain sees cond ~ sqrt(1 + 4 lmax) ~ 2e2, and the final
+# inverse's operand has spectrum in (1, 2].  Residual gates reject the step
+# if any chain failed to converge (stiffer than the gate anticipated).
+BAM_NS_ITERS_DEFAULT = (22, 14, 22, 14, 7)
+
+# lmax(G) above which the f32 Gram no longer resolves O(1) eigenvalues to
+# the ~1e-3 absolute accuracy the contraction weights need near l ~ 1
+# (eps_f32 * lmax ~ 1.2e-3 at 1e4).  Tuned against the SVD path: see
+# tests/test_bam_fused.py and docs/BENCHMARKS.md.
+LMAX_GATE_DEFAULT = 1e4
+
+
+def _ns_sqrt_both(a, iters: int):
+    """Coupled Newton-Schulz: returns (sqrt(a), a^{-1/2}) for small SPD
+    ``a`` (matmul-only; same scaled iteration as fused_step._ns_sqrt, with
+    the Z iterate — which converges to the inverse root — also returned)."""
+    n = a.shape[-1]
+    eye = jnp.eye(n, dtype=jnp.float32)
+    nrm = _spd_norm_ub(a)
+    y = a / nrm
+    z = eye
+    for _ in range(iters):
+        t = 0.5 * (3.0 * eye - jnp.dot(z, y,
+                                       preferred_element_type=jnp.float32,
+                                       precision=_HI))
+        y = jnp.dot(y, t, preferred_element_type=jnp.float32, precision=_HI)
+        z = jnp.dot(t, z, preferred_element_type=jnp.float32, precision=_HI)
+    rt = jnp.sqrt(nrm)
+    return y * rt, z / rt
+
+
+def _bam_smallspace_ns(e, v, mu, f, reg, *, batch: int,
+                       iters=BAM_NS_ITERS_DEFAULT,
+                       lmax_gate: float = LMAX_GATE_DEFAULT,
+                       tol: float = 3e-3, big_prec=None):
+    """Loop-free BaM factor update on VMEM-sized values.
+
+    Same math as ops/bam_eps.py (one exact rank-(B+1) BaM step in factor
+    coordinates) with the small-space spectral map evaluated by the
+    matmul-only psi(G) chain above instead of a thin SVD.
+
+    Inputs: ``e`` (B, D) standard-normal draws, ``v`` (B, D) scores at
+    ``mu + e @ f.T``, ``mu`` (1, D), ``f`` (D, D), ``reg`` scalar (traced).
+    Returns ``(mu_new (1,D), f_new (D,D), good, stiff)`` — ``stiff`` means
+    the Gram gate tripped and the caller must NOT trust (and should replay)
+    this step; ``good`` is the accept flag for the non-stiff case (NS
+    residual + trace-monotonicity screens, as the XLA path).
+
+    ``big_prec`` relaxes only the O(B D^2) matmuls; all (k, k) small-space
+    numerics stay at HIGHEST (their accuracy is what the gates certify).
+    """
+    b = batch
+    d = f.shape[-1]
+    bp = _HI if big_prec is None else big_prec
+    # Pad the B+1 small dimension to a sublane multiple with zero rows:
+    # zeros add null directions (psi regular at 0), leaving the algebra
+    # exact while keeping Mosaic tiles aligned.
+    kpad = b + 8
+
+    def mm(x, y, prec=_HI):
+        return jnp.dot(x, y, preferred_element_type=jnp.float32,
+                       precision=prec)
+
+    def mm_t(x, y, prec=_HI):  # x @ y.T
+        return jax.lax.dot_general(x, y, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32,
+                                   precision=prec)
+
+    def t_mm(x, y, prec=_HI):  # x.T @ y
+        return jax.lax.dot_general(x, y, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32,
+                                   precision=prec)
+
+    reg = jnp.asarray(reg, jnp.float32)
+    r1 = reg / (1.0 + reg)
+    epsbar = jnp.mean(e, axis=0, keepdims=True)            # (1, D)
+    gbar = jnp.mean(v, axis=0, keepdims=True)              # (1, D)
+    ed = e - epsbar
+    gd = v - gbar
+    sru = jnp.sqrt(reg / b)
+    pad = jnp.zeros((kpad - b - 1, d), jnp.float32)
+    # Row layouts of the (D, B+1) factors Om, FU of ops/bam_eps.py:33-40.
+    om_t = jnp.concatenate([sru * ed, -jnp.sqrt(r1) * epsbar, pad], axis=0)
+    fu_t = jnp.concatenate([sru * gd, jnp.sqrt(r1) * gbar, pad], axis=0)
+
+    eye_k = jnp.eye(kpad, dtype=jnp.float32)
+    # W1 = I + Om cu Om^T with cu = (I + sqrt(I + Om^T Om))^{-1}.
+    gu = mm_t(om_t, om_t)
+    gu = 0.5 * (gu + gu.T)
+    s_u = _ns_sqrt(eye_k + gu, iters[0])
+    s_u = 0.5 * (s_u + s_u.T)
+    res_u = jnp.sum((mm(s_u, s_u) - (eye_k + gu)) ** 2) \
+        / (jnp.sum((eye_k + gu) ** 2) + 1e-30)
+    cu = _newton_inv(eye_k + s_u, iters[1])
+
+    # Y^T = (W1^T Q)^T with Q = F^T FU (ops/bam_eps.py:124-130).
+    q_t = mm(fu_t, f, bp)                                  # (kpad, D)
+    omq = mm_t(om_t, q_t)                                  # Om^T Q
+    y_t = q_t + t_mm(mm(cu, omq), om_t, bp)
+
+    # ---- gated Gram + psi(G) chain --------------------------------------
+    g = mm_t(y_t, y_t)                                     # (kpad, kpad)
+    g = 0.5 * (g + g.T)
+    lmax_ub = _spd_norm_ub(g)
+    stiff = lmax_ub > lmax_gate
+    a1 = eye_k + 4.0 * g
+    s1 = _ns_sqrt(a1, iters[2])
+    s1 = 0.5 * (s1 + s1.T)
+    res_1 = jnp.sum((mm(s1, s1) - a1) ** 2) / (jnp.sum(a1 ** 2) + 1e-30)
+    ips = eye_k + s1                                       # spectrum [2, ..]
+    _, p = _ns_sqrt_both(ips, iters[3])                    # (I+s)^{-1/2}
+    p = 0.5 * (p + p.T)
+    res_p = jnp.sum((mm(mm(p, p), ips) - eye_k) ** 2) / kpad
+    winv = _newton_inv(eye_k + jnp.sqrt(2.0) * p, iters[4])
+    p2 = mm(p, p)                                          # (I+s)^{-1}
+    tau = -4.0 * mm(mm(p2, p2), winv)
+    tau = 0.5 * (tau + tau.T)
+
+    # F' = F W1 (I + Y tau Y^T); W1 applied through row tensors.
+    fom_t = mm_t(om_t, f, bp)                              # (F Om)^T
+    fw1 = f + t_mm(fom_t, mm(cu, om_t), bp)
+    fy = mm_t(fw1, y_t, bp)                                # Fw1 Y  (D, kpad)
+    f_new = fw1 + mm(mm(fy, tau), y_t, bp)
+    # Exact arithmetic gives S' <= V (tr via Frobenius of factors) — the
+    # same numerical-loss screen as the XLA path (ops/bam_eps.py:172-181).
+    tr_new = jnp.sum(f_new * f_new)
+    tr_v = jnp.sum(fw1 * fw1)
+    good = (jnp.isfinite(tr_new)
+            & (tr_new <= 1.05 * tr_v + 1e-6)
+            & (res_u < tol) & (res_1 < tol) & (res_p < tol))
+
+    # mu' = mu/(1+reg) + r1 (S' gbar + xbar) through the factors.
+    t1 = mm(gbar, f_new, bp)                               # gbar^T F'
+    s_gbar = mm_t(t1, f_new, bp)                           # (1, D)
+    xbar = mu + mm_t(epsbar, f, bp)
+    mu_new = mu / (1.0 + reg) + r1 * (s_gbar + xbar)
+    return mu_new, f_new, good, stiff
+
+
+def bam_fused_supported(b: int, d: int, steps_per_call: int = 1,
+                        itemsize: int = 4, param_shapes=None) -> bool:
+    """VMEM gate for the fused BaM kernels (mirrors fused_supported).
+
+    Budget: f in/out + fw1/fy/f_new intermediates (~6 D^2), the
+    ``steps_per_call`` external eps block, ~8 (B, D) row tensors, ~12
+    (B+8)^2 small tiles, and the score params at their real sizes."""
+    if not _HAS_PLTPU:
+        return False
+    if b < 4 or b % 4 != 0:
+        return False
+    if param_shapes is None:
+        param_bytes = d * d * itemsize
+    else:
+        param_bytes = 0
+        for shp in param_shapes:
+            n = 1
+            for s in shp:
+                n *= max(int(s), 1)
+            param_bytes += max(n, 8 * 128) * itemsize
+    kpad = b + 8
+    vmem = 6 * d * d * itemsize + 2 * steps_per_call * b * d * itemsize \
+        + 8 * b * d * itemsize + 12 * kpad * kpad * itemsize \
+        + 2 * param_bytes
+    return vmem < _VMEM_LIMIT_BYTES
+
+
+def _update_kernel(reg_ref, eps_ref, vs_ref, mu_ref, f_ref,
+                   mu_out, f_out, flags_out, *, batch: int, iters,
+                   lmax_gate: float, big_prec):
+    mu_new, f_new, good, stiff = _bam_smallspace_ns(
+        eps_ref[:], vs_ref[:], mu_ref[:], f_ref[:], reg_ref[0],
+        batch=batch, iters=iters, lmax_gate=lmax_gate, big_prec=big_prec)
+    keep = good & ~stiff
+    mu_out[:] = jnp.where(keep, mu_new, mu_ref[:])
+    f_out[:] = jnp.where(keep, f_new, f_ref[:])
+    flags_out[0, 0] = keep.astype(jnp.int32)
+    flags_out[0, 1] = stiff.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "iters",
+                                             "lmax_gate", "big_prec"))
+def bam_eps_update_fused(eps, vs, mean, f, reg, interpret: bool = False,
+                         iters=BAM_NS_ITERS_DEFAULT,
+                         lmax_gate: float = LMAX_GATE_DEFAULT,
+                         big_prec=None):
+    """Fused BaM factor update + validity + select, one Pallas call.
+
+    Drop-in for the accept half of ops/bam_eps.py: returns
+    ``(mean, f, good, stiff)`` with the old state already selected back
+    unless the proposal is both good and non-stiff.  ``stiff`` tells the
+    caller to redo this step on the XLA SVD path (same eps for exact
+    semantics).  f32 only.
+    """
+    b, d = eps.shape
+    dtype = jnp.float32
+    eps = eps.astype(dtype)
+    vs = vs.astype(dtype)
+    mu2 = mean.astype(dtype).reshape(1, d)
+    f = f.astype(dtype)
+    reg = jnp.asarray(reg, dtype).reshape(1)
+
+    kernel = functools.partial(_update_kernel, batch=b, iters=iters,
+                               lmax_gate=lmax_gate, big_prec=big_prec)
+    smem = (dict(memory_space=pltpu.SMEM) if _HAS_PLTPU else {})
+    vmem = (dict(memory_space=pltpu.VMEM) if _HAS_PLTPU else {})
+    mu_new, f_new, flags = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((1, d), dtype),
+            jax.ShapeDtypeStruct((d, d), dtype),
+            jax.ShapeDtypeStruct((1, 2), jnp.int32),
+        ),
+        in_specs=[pl.BlockSpec(**smem)] + [pl.BlockSpec(**vmem)] * 4,
+        out_specs=(pl.BlockSpec(**vmem), pl.BlockSpec(**vmem),
+                   pl.BlockSpec(**smem)),
+        interpret=interpret,
+        **({"compiler_params": _compiler_params(interpret)}
+           if _compiler_params(interpret) else {}),
+    )(reg, eps, vs, mu2, f)
+    return mu_new[0], f_new, flags[0, 0] > 0, flags[0, 1] > 0
+
+
+def make_fused_bam_multistep(score_fn, n_params: int, batch: int, d: int,
+                             steps_per_call: int,
+                             iters=BAM_NS_ITERS_DEFAULT,
+                             lmax_gate: float = LMAX_GATE_DEFAULT,
+                             big_prec=None, interpret: bool = False):
+    """Up to ``steps_per_call`` whole BaM iterations per kernel invocation.
+
+    The step is sample -> score (``score_fn`` traced in-kernel) -> fused
+    update; the eps block for all sub-steps arrives EXTERNALLY as a
+    ``(spc*B, D)`` array (unlike the GSM multistep's on-chip PRNG) so that
+
+    - a stiff or rejected sub-step can be REPLAYED at the XLA level with the
+      IDENTICAL draw (exact reference retry semantics), and
+    - the kernel runs bit-comparably under interpret mode on CPU CI.
+
+    The kernel consumes sub-steps until the first one that is stiff (Gram
+    gate) or — when ``stop_on_reject`` is set at call time via ``nmax`` —
+    not accepted, then freezes.  Returns
+    ``step(regs, nmax, stop_on_reject, eps_block, mean, f, *params) ->
+    (mean, f, n_done, n_acc, stopped_kind)`` where ``n_done`` counts
+    consumed sub-steps, ``n_acc`` accepted ones among them, and
+    ``stopped_kind`` is 0 (ran to nmax), 1 (stiff), 2 (PD-reject with
+    stop_on_reject).  The caller loops/replays to advance exactly its chunk.
+    """
+    if not _HAS_PLTPU and not interpret:
+        raise RuntimeError("fused BaM multistep requires TPU pallas")
+    spc = steps_per_call
+
+    def kernel(regs_ref, nmax_ref, sor_ref, eps_ref, mu_ref, f_ref, *rest):
+        params = [p[:] for p in rest[:n_params]]
+        mu_out, f_out, stats_out = rest[n_params:]
+        nmax = nmax_ref[0]
+        stop_on_reject = sor_ref[0] > 0
+
+        def body(j, carry):
+            mu, f, n_done, n_acc, stopped = carry
+            active = (j < nmax) & (stopped == 0)
+            e = eps_ref[pl.ds(j * batch, batch), :]
+            x = mu + jax.lax.dot_general(
+                e, f, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_HI if big_prec is None else big_prec)
+            v = score_fn(x, *params)
+            mu_new, f_new, good, stiff = _bam_smallspace_ns(
+                e, v, mu, f, regs_ref[j], batch=batch, iters=iters,
+                lmax_gate=lmax_gate, big_prec=big_prec)
+            stop_now = active & (stiff | (stop_on_reject & ~good))
+            consume = active & ~stop_now
+            accept = consume & good
+            mu = jnp.where(accept, mu_new, mu)
+            f = jnp.where(accept, f_new, f)
+            n_done = n_done + consume.astype(jnp.int32)
+            n_acc = n_acc + accept.astype(jnp.int32)
+            stopped = jnp.where(
+                stop_now,
+                jnp.where(stiff, jnp.int32(1), jnp.int32(2)),
+                stopped)
+            return mu, f, n_done, n_acc, stopped
+
+        zero = jnp.zeros((), jnp.int32)
+        mu, f, n_done, n_acc, stopped = jax.lax.fori_loop(
+            0, spc, body, (mu_ref[:], f_ref[:], zero, zero, zero))
+        mu_out[:] = mu
+        f_out[:] = f
+        stats_out[0, 0] = n_done
+        stats_out[0, 1] = n_acc
+        stats_out[0, 2] = stopped
+
+    smem = (dict(memory_space=pltpu.SMEM) if _HAS_PLTPU else {})
+    vmem = (dict(memory_space=pltpu.VMEM) if _HAS_PLTPU else {})
+
+    @jax.jit
+    def step(regs, nmax, stop_on_reject, eps_block, mean, f, *params):
+        mu2 = mean.astype(jnp.float32).reshape(1, d)
+        regs = jnp.asarray(regs, jnp.float32).reshape(spc)
+        nmax = jnp.asarray(nmax, jnp.int32).reshape(1)
+        sor = jnp.asarray(stop_on_reject, jnp.int32).reshape(1)
+        eps_block = eps_block.astype(jnp.float32).reshape(spc * batch, d)
+        mu_new, f_new, stats = pl.pallas_call(
+            kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((1, d), jnp.float32),
+                jax.ShapeDtypeStruct((d, d), jnp.float32),
+                jax.ShapeDtypeStruct((1, 3), jnp.int32),
+            ),
+            in_specs=[pl.BlockSpec(**smem)] * 3
+            + [pl.BlockSpec(**vmem)] * (3 + n_params),
+            out_specs=(pl.BlockSpec(**vmem), pl.BlockSpec(**vmem),
+                       pl.BlockSpec(**smem)),
+            interpret=interpret,
+            **({"compiler_params": _compiler_params(interpret)}
+               if _compiler_params(interpret) else {}),
+        )(regs, nmax, sor, eps_block, mu2, f.astype(jnp.float32),
+          *[p.astype(jnp.float32) for p in params])
+        return (mu_new[0], f_new, stats[0, 0], stats[0, 1], stats[0, 2])
+
+    return step

@@ -1,0 +1,299 @@
+"""Fused BaM kernels (ops/pallas/bam_fused.py) vs the XLA SVD path and an
+f64 closed-form oracle — interpret mode on CPU."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gsmvi_tpu.ops.bam_eps import bam_eps_update
+from gsmvi_tpu.ops.pallas.bam_fused import (
+    BAM_NS_ITERS_DEFAULT, LMAX_GATE_DEFAULT, _bam_smallspace_ns,
+    bam_eps_update_fused, bam_fused_supported, make_fused_bam_multistep)
+
+
+def _benign_inputs(rng, b, d, score_scale=1.0):
+    e = rng.normal(size=(b, d)).astype(np.float32)
+    f = (np.eye(d) + 0.05 * rng.normal(size=(d, d))).astype(np.float32)
+    mu = rng.normal(size=d).astype(np.float32)
+    x = mu + e @ f.T
+    v = (score_scale * -(x - rng.normal(size=d))).astype(np.float32)
+    return (jnp.asarray(e), jnp.asarray(v), jnp.asarray(mu), jnp.asarray(f))
+
+
+@pytest.mark.parametrize("reg", [0.3, 1.0, 3.0])
+@pytest.mark.parametrize("b,d", [(8, 32), (32, 96)])
+def test_ns_core_matches_svd_path(rng, reg, b, d):
+    """In the gated (non-stiff) regime the matmul-only psi(G) chain must
+    reproduce the thin-SVD update (ops/bam_eps.py) to f32 working accuracy —
+    both compute the SAME factor F W1 (I + Ytil w Ytil^T)."""
+    e, v, mu, f = _benign_inputs(rng, b, d)
+    m_ref, f_ref, good_ref = bam_eps_update(e, v, mu, f, reg, solver="svd")
+    m_ns, f_ns, good, stiff = _bam_smallspace_ns(
+        e, v, mu.reshape(1, d), f, reg, batch=b)
+    assert not bool(stiff)
+    assert bool(good) and bool(good_ref)
+    s_ref = np.asarray(f_ref @ f_ref.T)
+    s_ns = np.asarray(f_ns @ f_ns.T)
+    scale = max(1.0, float(np.abs(s_ref).max()))
+    np.testing.assert_allclose(s_ns, s_ref, atol=3e-5 * scale)
+    np.testing.assert_allclose(np.asarray(m_ns[0]), np.asarray(m_ref),
+                               atol=3e-5 * max(1.0, float(np.abs(
+                                   np.asarray(m_ref)).max())))
+
+
+def test_psi_chain_matches_f64_closed_form(rng):
+    """The NS evaluation of psi(G) = -4 (I+s)^{-2} (I+sqrt(2)(I+s)^{-1/2})^{-1}
+    must match the eigendecomposition of psi(l) = (sqrt(sigma(l)) - 1)/l in
+    f64 (sigma(l) = 2/(1+sqrt(1+4l)))."""
+    from gsmvi_tpu.ops.pallas.bam_fused import _ns_sqrt_both
+    from gsmvi_tpu.ops.pallas.fused_step import _newton_inv, _ns_sqrt
+
+    k = 24
+    a = rng.normal(size=(k, k))
+    g64 = a @ a.T * 3.0  # lmax ~ O(100): comfortably inside the gate
+    w, q = np.linalg.eigh(g64)
+    w = np.maximum(w, 0.0)
+    sig = 2.0 / (1.0 + np.sqrt(1.0 + 4.0 * w))
+    psi = np.where(w > 1e-12, (np.sqrt(sig) - 1.0) / np.maximum(w, 1e-12),
+                   -0.5)
+    psi64 = (q * psi) @ q.T
+
+    g = jnp.asarray(g64, jnp.float32)
+    eye = jnp.eye(k, dtype=jnp.float32)
+    s1 = _ns_sqrt(eye + 4.0 * g, BAM_NS_ITERS_DEFAULT[2])
+    _, p = _ns_sqrt_both(eye + s1, BAM_NS_ITERS_DEFAULT[3])
+    winv = _newton_inv(eye + jnp.sqrt(2.0) * p, BAM_NS_ITERS_DEFAULT[4])
+    p2 = p @ p
+    tau = -4.0 * (p2 @ p2 @ winv)
+    np.testing.assert_allclose(np.asarray(tau), psi64, atol=2e-5)
+
+
+def test_stiff_gate_trips_on_large_gram(rng):
+    """Scores large enough that lmax(G) exceeds the gate must flag stiff
+    (the f32 Gram no longer resolves O(1) eigenvalues there — accepting
+    would bias the fit exactly like the eigh solver's mean stall)."""
+    b, d = 32, 64
+    e, v, mu, f = _benign_inputs(rng, b, d, score_scale=300.0)
+    _, _, _, stiff = _bam_smallspace_ns(e, v, mu.reshape(1, d), f, 20.0,
+                                        batch=b)
+    assert bool(stiff)
+    # And the same inputs with an infinite gate confirm the statistic is
+    # what trips it (not a residual failure).
+    _, _, good, stiff_inf = _bam_smallspace_ns(
+        e, v, mu.reshape(1, d), f, 20.0, batch=b, lmax_gate=float("inf"))
+    assert not bool(stiff_inf)
+
+
+def test_fused_update_kernel_interpret_matches_core(rng):
+    b, d = 8, 32
+    e, v, mu, f = _benign_inputs(rng, b, d)
+    reg = 1.5
+    m_k, f_k, good_k, stiff_k = bam_eps_update_fused(e, v, mu, f, reg,
+                                                     interpret=True)
+    m_c, f_c, good_c, stiff_c = _bam_smallspace_ns(
+        e, v, mu.reshape(1, d), f, reg, batch=b)
+    assert bool(good_k) == bool(good_c)
+    assert bool(stiff_k) == bool(stiff_c)
+    np.testing.assert_allclose(np.asarray(m_k), np.asarray(m_c[0]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(f_k), np.asarray(f_c),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_update_selects_old_state_when_stiff(rng):
+    b, d = 32, 64
+    e, v, mu, f = _benign_inputs(rng, b, d, score_scale=300.0)
+    m_k, f_k, good_k, stiff_k = bam_eps_update_fused(e, v, mu, f, 20.0,
+                                                     interpret=True)
+    assert bool(stiff_k)
+    np.testing.assert_array_equal(np.asarray(m_k), np.asarray(mu))
+    np.testing.assert_array_equal(np.asarray(f_k), np.asarray(f))
+
+
+def test_multistep_kernel_matches_sequential_core(rng):
+    """One multistep invocation (interpret) == spc sequential core steps on
+    the same eps block and reg schedule."""
+    from gsmvi_tpu.models import dense_gaussian
+
+    b, d, spc = 8, 16, 4
+    t = dense_gaussian(jax.random.PRNGKey(1), d)
+    score_fn, params = t.pallas_score
+    params = [jnp.asarray(p, jnp.float32) for p in params]
+
+    mu = jnp.zeros(d, jnp.float32)
+    f = jnp.eye(d, dtype=jnp.float32)
+    eps_block = jnp.asarray(rng.normal(size=(spc, b, d)).astype(np.float32))
+    regs = jnp.asarray([2.0, 1.0, 0.7, 0.5], jnp.float32)
+
+    multi = make_fused_bam_multistep(score_fn, len(params), b, d, spc,
+                                     interpret=True)
+    m_k, f_k, n_done, n_acc, stopped = multi(regs, spc, 0, eps_block, mu, f,
+                                             *params)
+    assert int(n_done) == spc
+    assert int(stopped) == 0
+
+    m_c, f_c = mu.reshape(1, d), f
+    acc = 0
+    for j in range(spc):
+        x = m_c + eps_block[j] @ f_c.T
+        v = score_fn(x, *params)
+        m_n, f_n, good, stiff = _bam_smallspace_ns(
+            eps_block[j], v, m_c, f_c, regs[j], batch=b)
+        keep = bool(good) and not bool(stiff)
+        if keep:
+            m_c, f_c = m_n, f_n
+            acc += 1
+    assert int(n_acc) == acc
+    np.testing.assert_allclose(np.asarray(m_k), np.asarray(m_c[0]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(f_k), np.asarray(f_c),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_multistep_kernel_stops_on_stiff_substep(rng):
+    """A stiff sub-step must freeze the kernel: earlier sub-steps applied,
+    the stiff one UNCONSUMED, stopped-kind == 1."""
+    from gsmvi_tpu.models import dense_gaussian
+
+    b, d, spc = 8, 16, 4
+    t = dense_gaussian(jax.random.PRNGKey(1), d)
+    score_fn, params = t.pallas_score
+    params = [jnp.asarray(p, jnp.float32) for p in params]
+    mu = jnp.zeros(d, jnp.float32)
+    f = jnp.eye(d, dtype=jnp.float32)
+    eps_block = jnp.asarray(rng.normal(size=(spc, b, d)).astype(np.float32))
+    # Huge reg at sub-step 2 makes its Gram blow past the gate.
+    regs = jnp.asarray([0.5, 0.5, 1e9, 0.5], jnp.float32)
+
+    multi = make_fused_bam_multistep(score_fn, len(params), b, d, spc,
+                                     interpret=True)
+    m_k, f_k, n_done, n_acc, stopped = multi(regs, spc, 0, eps_block, mu, f,
+                                             *params)
+    assert int(n_done) == 2
+    assert int(stopped) == 1
+
+    # State equals exactly two sequential core steps.
+    m_c, f_c = mu.reshape(1, d), f
+    for j in range(2):
+        x = m_c + eps_block[j] @ f_c.T
+        v = score_fn(x, *params)
+        m_n, f_n, good, stiff = _bam_smallspace_ns(
+            eps_block[j], v, m_c, f_c, regs[j], batch=b)
+        if bool(good) and not bool(stiff):
+            m_c, f_c = m_n, f_n
+    np.testing.assert_allclose(np.asarray(m_k), np.asarray(m_c[0]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(f_k), np.asarray(f_c),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_multistep_nmax_limits_consumed_steps(rng):
+    from gsmvi_tpu.models import dense_gaussian
+
+    b, d, spc = 8, 16, 4
+    t = dense_gaussian(jax.random.PRNGKey(1), d)
+    score_fn, params = t.pallas_score
+    params = [jnp.asarray(p, jnp.float32) for p in params]
+    eps_block = jnp.asarray(rng.normal(size=(spc, b, d)).astype(np.float32))
+    regs = jnp.full((spc,), 0.5, jnp.float32)
+    multi = make_fused_bam_multistep(score_fn, len(params), b, d, spc,
+                                     interpret=True)
+    _, _, n_done, _, stopped = multi(regs, 3, 0, eps_block,
+                                     jnp.zeros(d, jnp.float32),
+                                     jnp.eye(d, dtype=jnp.float32), *params)
+    assert int(n_done) == 3
+    assert int(stopped) == 0
+
+
+def _fused_factorbam(t, d, monkeypatch, **kw):
+    import gsmvi_tpu.bam_factor as bf_mod
+    from gsmvi_tpu import FactorBaM
+
+    monkeypatch.setattr(bf_mod, "on_tpu", lambda: True)
+    g = FactorBaM(D=d, lp=t.lp, lp_g=t.lp_g, dtype=jnp.float32,
+                  pallas_score=t.pallas_score, **kw)
+    g._interpret = True
+    return g
+
+
+def test_factorbam_fused_runner_end_to_end(rng, monkeypatch):
+    """FactorBaM on the fused multistep path (interpret) recovers a benign
+    target's moments and advances exactly niter+1 steps."""
+    from gsmvi_tpu import Regularizers
+    from gsmvi_tpu.models import dense_gaussian
+
+    d = 8
+    t = dense_gaussian(jax.random.PRNGKey(7), d, scale=0.3)
+    g = _fused_factorbam(t, d, monkeypatch, steps_per_call=4)
+    assert g._pallas_mode(8) == "step"
+    state = g.fit(jax.random.PRNGKey(0), regf=Regularizers().linear(20.0),
+                  niter=400, batch_size=8, verbose=False, retries=0,
+                  return_state=True)
+    assert int(state.step) == 401
+    assert int(state.n_accepted) + int(state.n_rejected) == 401
+    mean = np.asarray(state.mean)
+    cov = np.asarray(t.cov)
+    np.testing.assert_allclose(mean, np.asarray(t.mean),
+                               atol=0.15 * max(1.0, np.abs(cov).max()))
+    got = np.asarray(state.factor @ state.factor.T)
+    np.testing.assert_allclose(got, cov, atol=0.25 * max(1.0, np.abs(
+        cov).max()))
+
+
+def test_factorbam_fused_matches_xla_on_stiff_target(rng, monkeypatch):
+    """On a stiffer target (early steps trip the gate) the fused+replay
+    path must land at the same converged moments as the pure XLA SVD path —
+    the hybrid may not cost accuracy."""
+    from gsmvi_tpu import FactorBaM, Regularizers
+    from gsmvi_tpu.models import dense_gaussian
+
+    d = 8
+    t = dense_gaussian(jax.random.PRNGKey(3), d)  # scale=1: stiff early
+    niter, bsz = 600, 8
+
+    g = _fused_factorbam(t, d, monkeypatch, steps_per_call=4, lmax_gate=300.0)
+    mean_f, cov_f = g.fit(jax.random.PRNGKey(0),
+                          regf=Regularizers().linear(20.0), niter=niter,
+                          batch_size=bsz, verbose=False, retries=2)
+
+    x = FactorBaM(D=d, lp=t.lp, lp_g=t.lp_g, dtype=jnp.float32,
+                  use_pallas=False)
+    mean_x, cov_x = x.fit(jax.random.PRNGKey(0),
+                          regf=Regularizers().linear(20.0), niter=niter,
+                          batch_size=bsz, verbose=False, retries=2)
+
+    scale = max(1.0, float(np.abs(np.asarray(t.cov)).max()))
+    # Different RNG streams -> compare against the target, not each other.
+    for m, c in ((mean_f, cov_f), (mean_x, cov_x)):
+        np.testing.assert_allclose(np.asarray(m), np.asarray(t.mean),
+                                   atol=0.2 * scale)
+        np.testing.assert_allclose(np.asarray(c), np.asarray(t.cov),
+                                   atol=0.35 * scale)
+
+
+def test_factorbam_update_mode_without_pallas_score(rng, monkeypatch):
+    """Without pallas_score the auto mode is "update" (fused update kernel,
+    XLA sampling/score) and still fits."""
+    from gsmvi_tpu import Regularizers
+    from gsmvi_tpu.models import dense_gaussian
+
+    d = 8
+    t = dense_gaussian(jax.random.PRNGKey(7), d, scale=0.3)
+    g = _fused_factorbam(t, d, monkeypatch)
+    g.pallas_score = None
+    assert g._pallas_mode(8) == "update"
+    mean, cov = g.fit(jax.random.PRNGKey(0),
+                      regf=Regularizers().linear(20.0), niter=300,
+                      batch_size=8, verbose=False, retries=0)
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(t.mean),
+                               atol=0.2)
+
+
+def test_bam_fused_supported_gate():
+    assert bam_fused_supported(32, 256, steps_per_call=8)
+    assert not bam_fused_supported(5, 256)        # sublane alignment
+    assert not bam_fused_supported(32, 4096)      # beyond VMEM
+    # Param bytes are budgeted at their real sizes.
+    assert not bam_fused_supported(32, 1024, steps_per_call=8,
+                                   param_shapes=[(100000, 1024)])
