@@ -18,14 +18,18 @@ Differences, all TPU-motivated:
 Use ``BaM`` when you need the dense-state path (e.g. cov-sharded large-D) or
 eager numpy callables; use this for throughput.
 
-Numerical route: the small-space spectrum is computed by a thin SVD of the
-(D, B+1) factor by default (``solver="svd"``), which resolves the
-contraction weights at kappa(Y) — NOT kappa(Y)^2 — accuracy.  That is what
-makes this path work in f32 on stiff targets (``dense_gaussian`` at D=256,
-cond ~ 4e6, converges to mean_err ~ 8e-4 on TPU v5e) in the very regime
-where the reference's BaM requires x64 (``examples/example_bam.py:14-15``).
-``solver="eigh"`` (Gram eigendecomposition) is ~70 us/step cheaper on v5e
-but stalls the MEAN on such targets — see ops/bam_eps.py for the analysis.
+Numerical route: the small-space spectrum needs kappa(Y) — NOT kappa(Y)^2 —
+accuracy on stiff steps; a thin SVD of the (D, B+1) factor delivers it
+(that is what makes this path work in f32 on stiff targets —
+``dense_gaussian`` at D=256, cond ~ 4e6, converges to mean_err ~ 8e-4 on
+TPU v5e, the very regime where the reference's BaM requires x64,
+``examples/example_bam.py:14-15``) but costs ~140 us in-scan, while the
+Gram eigh is ~70 us cheaper yet stalls the MEAN there.  The default
+``solver="auto"`` routes per step by a cheap conditioning bound (see
+ops/bam_eps.py), and on TPU the fused Pallas kernels (use_pallas="auto")
+collapse the whole benign-regime step into matmul-only Newton-Schulz
+chains, replaying only gate-flagged stiff steps through the SVD
+(ops/pallas/bam_fused.py).
 """
 
 from __future__ import annotations
@@ -51,7 +55,7 @@ class FactorBaM:
     """Fit a dense-covariance Gaussian by BaM updates on factor state."""
 
     def __init__(self, D, lp, lp_g, mesh=None, data_axis: str = "data",
-                 dtype=None, solver: str = "svd",
+                 dtype=None, solver: str = "auto",
                  use_pallas: "bool | str" = "auto", pallas_score=None,
                  steps_per_call=None, lmax_gate: float = LMAX_GATE_DEFAULT,
                  ns_iters=BAM_NS_ITERS_DEFAULT):
@@ -73,10 +77,11 @@ class FactorBaM:
         self.mesh = mesh
         self.data_axis = data_axis
         self.dtype = dtype or jnp.zeros(0).dtype
-        # "svd" (default) resolves the small-space spectrum at kappa(Y)
-        # accuracy — required for stiff targets at f32 (ops/bam_eps.py
-        # docstring); "eigh" is ~70 us/step cheaper on v5e but squares the
-        # condition number.
+        # "auto" (default) routes each step by a cheap conditioning bound:
+        # the ~70 us-cheaper Gram eigh while the f32/f64 spectrum near
+        # l ~ 1 stays resolved, the kappa-accurate thin SVD on stiff steps
+        # (which are an early-fit transient) — SVD-grade converged moments
+        # at near-eigh steady-state cost.  "svd"/"eigh" force one branch.
         self.solver = solver
         self.use_pallas = use_pallas
         self.pallas_score = pallas_score

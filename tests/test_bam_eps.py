@@ -59,7 +59,8 @@ def test_f32_accuracy(rng):
                                atol=5e-4 * scale)
 
 
-def test_f32_svd_solver_stiff_regime(rng):
+@pytest.mark.parametrize("solver", ["svd", "auto"])
+def test_f32_svd_solver_stiff_regime(rng, solver):
     """The round-2 TPU stall: large reg x large scores make kappa(Y) ~ 1e4+,
     where the Gram-eigh route's kappa^2 exceeds f32 and the contraction
     weights go wrong by O(1e-1) (mean stalls at D=256 on dense_gaussian).
@@ -81,7 +82,7 @@ def test_f32_svd_solver_stiff_regime(rng):
 
     a32 = lambda x: jnp.asarray(x, jnp.float32)
     m32, f32_, good32 = bam_eps_update(
-        a32(eps), a32(v), a32(mu), a32(f), np.float32(reg), solver="svd")
+        a32(eps), a32(v), a32(mu), a32(f), np.float32(reg), solver=solver)
     assert bool(good32)
     s32 = np.asarray(f32_ @ f32_.T, np.float64)
     scale = max(1.0, np.abs(s64).max())
@@ -176,3 +177,47 @@ def test_update_corr_converges_in_stiff_centered_regime():
                    np.float64)
     rel = np.max(np.abs(c - c_true)) / np.max(np.abs(c_true))
     assert rel < 1e-4, f"default newton_iters={default_iters} rel={rel:.2e}"
+
+
+def test_auto_solver_routes_benign_to_eigh_and_stiff_to_svd(rng):
+    """solver="auto" must equal the eigh branch bit-for-bit on benign steps
+    (the router takes that branch) and the svd branch on stiff ones."""
+    b, d = 16, 64
+    a32 = lambda x: jnp.asarray(np.asarray(x), jnp.float32)
+    f = a32(np.eye(d) + 0.05 * rng.normal(size=(d, d)))
+    mu = a32(rng.normal(size=d))
+    eps = a32(rng.normal(size=(b, d)))
+
+    # Benign: small scores -> lmax(Gram) far below the f32 threshold; all
+    # three solvers agree to f32 working accuracy there (cond traces its
+    # branches, so bitwise equality with the eager branch is not expected).
+    v = a32(0.5 * rng.normal(size=(b, d)))
+    m_a, f_a, _ = bam_eps_update(eps, v, mu, f, 1.0, solver="auto")
+    m_e, f_e, _ = bam_eps_update(eps, v, mu, f, 1.0, solver="eigh")
+    np.testing.assert_allclose(np.asarray(m_a), np.asarray(m_e), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(f_a), np.asarray(f_e), atol=1e-5)
+
+    # Stiff: large reg x large scores.  The router must take the SVD
+    # branch: auto tracks svd to working accuracy while eigh measurably
+    # disagrees (its kappa^2 exceeds f32 here).
+    v = a32(100.0 * rng.normal(size=(b, d)))
+    m_a, f_a, _ = bam_eps_update(eps, v, mu, f, 100.0, solver="auto")
+    m_s, f_s, _ = bam_eps_update(eps, v, mu, f, 100.0, solver="svd")
+    m_e, _, _ = bam_eps_update(eps, v, mu, f, 100.0, solver="eigh")
+    svd_gap = np.abs(np.asarray(m_a) - np.asarray(m_s)).max()
+    eigh_gap = np.abs(np.asarray(m_e) - np.asarray(m_s)).max()
+    assert svd_gap < 1e-5
+    assert eigh_gap > 10 * max(svd_gap, 1e-6)
+    np.testing.assert_allclose(np.asarray(f_a), np.asarray(f_s), atol=1e-5)
+
+
+def test_auto_solver_small_d_falls_back_to_svd(rng):
+    """D < B+1 (thin-SVD column count shrinks) must not break the router."""
+    b, d = 16, 8
+    a32 = lambda x: jnp.asarray(np.asarray(x), jnp.float32)
+    eps = a32(rng.normal(size=(b, d)))
+    v = a32(0.5 * rng.normal(size=(b, d)))
+    m_a, f_a, good = bam_eps_update(a32(eps), v, a32(rng.normal(size=d)),
+                                    a32(np.eye(d)), 1.0, solver="auto")
+    assert bool(good)
+    assert np.isfinite(np.asarray(f_a)).all()
