@@ -17,7 +17,7 @@ import jax
 def initialize_distributed(coordinator_address: Optional[str] = None,
                            num_processes: Optional[int] = None,
                            process_id: Optional[int] = None,
-                           auto: bool = False) -> bool:
+                           auto: bool = False, **init_kwargs) -> bool:
     """Initialize multi-host JAX; returns True when running distributed.
 
     On TPU pods the arguments are discovered from the environment, so
@@ -29,6 +29,9 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
     raises (a misconfigured pod must not silently fall back to
     single-process fitting); with ``auto=True`` discovery failures return
     False, since auto mode legitimately runs single-process.
+
+    ``init_kwargs`` pass through to ``jax.distributed.initialize`` (e.g.
+    ``initialization_timeout`` for fail-fast cluster bring-up).
     """
     already = getattr(jax.distributed, "is_initialized", None)
     if callable(already) and already():
@@ -42,6 +45,7 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
+            **init_kwargs,
         )
     except Exception:
         if explicit:
