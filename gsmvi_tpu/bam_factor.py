@@ -96,9 +96,22 @@ class FactorBaM:
 
     def _pallas_mode(self, batch_size: int):
         """None | "update" | "step" — which fused kernel this config uses."""
-        if self.mesh is not None or self.use_pallas is False:
+        if self.use_pallas is False:
             return None
         if self.dtype != jnp.float32 or not on_tpu():
+            return None
+        if self.mesh is not None:
+            # Data mesh composes with the fused UPDATE kernel only (scores
+            # data-parallel, rows all_gather, kernel replicated — mirrors
+            # FactorGSM._make_step); the whole-step kernel would pull the
+            # score on-chip and forfeit the parallelism.
+            n = self.mesh.shape[self.data_axis]
+            if batch_size % n != 0:
+                return None
+            if not bam_fused_supported(batch_size, self.D):
+                return None
+            if self.use_pallas == "auto" or self.use_pallas is True:
+                return "update"
             return None
         param_shapes = (
             [tuple(p.shape) for p in self.pallas_score[1]]
@@ -141,7 +154,55 @@ class FactorBaM:
                     eps, vs, state.mean, state.factor, reg, solver=solver)
                 return key, mean_new.astype(dtype), f_new.astype(dtype), good
 
-        if mode == "update":
+        if mode == "update" and self.mesh is not None:
+            # Mesh-composed fused BaM step: per-shard scores, one all_gather
+            # of the O(B*D) rows, replicated fused kernel + stiff-replay
+            # cond (mirrors FactorGSM's mesh-composed update).
+            from functools import partial as _partial
+
+            from jax.sharding import PartitionSpec as P
+
+            mesh = self.mesh
+            axis = self.data_axis
+            lmax_gate = self.lmax_gate
+            ns_iters = self.ns_iters
+            interp = self._interpret
+
+            @_partial(jax.shard_map, mesh=mesh,
+                      in_specs=(P(axis, None), P(), P(None, None), P()),
+                      out_specs=(P(), P(None, None), P()),
+                      check_vma=False)
+            def gathered_attempt(eps_local, mean, f, reg):
+                with jax.default_matmul_precision("float32"):
+                    vs_local = lp_g(mean + eps_local @ f.T)
+                    eps_full = jax.lax.all_gather(eps_local, axis, axis=0,
+                                                  tiled=True)
+                    vs_full = jax.lax.all_gather(
+                        vs_local.astype(jnp.float32), axis, axis=0,
+                        tiled=True)
+                    mu_p, f_p, good, stiff = bam_eps_update_fused(
+                        eps_full, vs_full, mean, f, reg, iters=ns_iters,
+                        lmax_gate=lmax_gate, interpret=interp)
+
+                    def svd_branch(_):
+                        mu_s, f_s, good_s = bam_eps_update(
+                            eps_full, vs_full, mean, f, reg, solver=solver)
+                        return (mu_s.astype(jnp.float32),
+                                f_s.astype(jnp.float32), good_s)
+
+                    return jax.lax.cond(stiff, svd_branch,
+                                        lambda _: (mu_p, f_p, good), None)
+
+            def fused_attempt(key, state):
+                key, key_sample = jax.random.split(key)
+                eps = jax.random.normal(key_sample, (batch_size, d), dtype)
+                reg = jnp.asarray(regf(state.step), jnp.float32)
+                mu_p, f_p, good = gathered_attempt(eps, state.mean,
+                                                   state.factor, reg)
+                return key, mu_p, f_p, good
+
+            first_attempt = fused_attempt
+        elif mode == "update":
             lmax_gate = self.lmax_gate
             ns_iters = self.ns_iters
 

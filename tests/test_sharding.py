@@ -225,3 +225,82 @@ def test_sharded_step_memory_stays_partitioned(eight_devices):
     assert stats["sharded"].output_size_in_bytes < 0.35 * full_mat
     # no gather: every sharded temp fits well under one full D x D matrix.
     assert stats["sharded"].temp_size_in_bytes < 0.8 * full_mat
+
+
+def test_mesh_composed_fused_update_matches_unsharded(mesh, target,
+                                                      monkeypatch):
+    """VERDICT r2 item #4: FactorGSM(mesh=...) keeps the fused Pallas
+    update (interpret mode on CPU) — scores shard over the data axis, rows
+    all_gather, the kernel runs replicated — and the trajectory matches the
+    unsharded fused-update path exactly (same key stream)."""
+    import gsmvi_tpu.gsm_factor as gf_mod
+    from gsmvi_tpu import FactorGSM
+
+    t = target
+    monkeypatch.setattr(gf_mod, "on_tpu", lambda: True)
+    kw = dict(niter=150, batch_size=16, verbose=False, return_state=True)
+
+    g_sh = FactorGSM(D=t.d, lp=t.lp, lp_g=t.lp_g, mesh=mesh,
+                     dtype=jnp.float32)
+    g_sh._interpret = True
+    assert g_sh._pallas_mode(16) == "update"
+    s_sh = g_sh.fit(jax.random.PRNGKey(4), **kw)
+
+    g_un = FactorGSM(D=t.d, lp=t.lp, lp_g=t.lp_g, dtype=jnp.float32)
+    g_un._interpret = True
+    assert g_un._pallas_mode(16) == "update"
+    s_un = g_un.fit(jax.random.PRNGKey(4), **kw)
+
+    assert int(s_sh.n_accepted) == int(s_un.n_accepted)
+    np.testing.assert_allclose(np.asarray(s_sh.mean), np.asarray(s_un.mean),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(s_sh.factor @ s_sh.factor.T),
+        np.asarray(s_un.factor @ s_un.factor.T), rtol=2e-4, atol=2e-4)
+    # And the fit actually recovers the target.
+    np.testing.assert_allclose(np.asarray(s_sh.mean), np.asarray(t.mean),
+                               atol=0.25)
+
+
+def test_mesh_fused_gate_requires_divisible_batch(mesh, monkeypatch):
+    import gsmvi_tpu.gsm_factor as gf_mod
+    from gsmvi_tpu import FactorGSM
+
+    monkeypatch.setattr(gf_mod, "on_tpu", lambda: True)
+    t = dense_gaussian(jax.random.PRNGKey(21), 12)
+    g = FactorGSM(D=t.d, lp=t.lp, lp_g=t.lp_g, mesh=mesh, dtype=jnp.float32)
+    assert g._pallas_mode(12) is None   # 12 % 8 != 0 -> XLA path
+    assert g._pallas_mode(16) == "update"
+
+
+def test_mesh_composed_fused_bam_update_matches_unsharded(mesh, target,
+                                                          monkeypatch):
+    """FactorBaM(mesh=...) keeps the fused update kernel + stiff replay
+    under the data mesh; trajectory matches the unsharded fused path."""
+    import gsmvi_tpu.bam_factor as bf_mod
+    from gsmvi_tpu import FactorBaM
+
+    t = target
+    monkeypatch.setattr(bf_mod, "on_tpu", lambda: True)
+    kw = dict(regf=Regularizers().linear(30.0), niter=150, batch_size=16,
+              verbose=False, retries=0, return_state=True)
+
+    g_sh = FactorBaM(D=t.d, lp=t.lp, lp_g=t.lp_g, mesh=mesh,
+                     dtype=jnp.float32)
+    g_sh._interpret = True
+    assert g_sh._pallas_mode(16) == "update"
+    s_sh = g_sh.fit(jax.random.PRNGKey(4), **kw)
+
+    g_un = FactorBaM(D=t.d, lp=t.lp, lp_g=t.lp_g, dtype=jnp.float32)
+    g_un._interpret = True
+    assert g_un._pallas_mode(16) == "update"
+    s_un = g_un.fit(jax.random.PRNGKey(4), **kw)
+
+    assert int(s_sh.n_accepted) == int(s_un.n_accepted)
+    np.testing.assert_allclose(np.asarray(s_sh.mean), np.asarray(s_un.mean),
+                               rtol=5e-4, atol=5e-4)
+    np.testing.assert_allclose(
+        np.asarray(s_sh.factor @ s_sh.factor.T),
+        np.asarray(s_un.factor @ s_un.factor.T), rtol=5e-4, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(s_sh.mean), np.asarray(t.mean),
+                               atol=0.25)
