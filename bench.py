@@ -178,7 +178,10 @@ def bench_matrix(targets):
             results.setdefault(name, {})[str(d)] = None
             return
         t = targets[d] if d in targets else targets["ill512"]
+        # bam_fused runs at GSM-like rates: it needs the GSM iteration
+        # budget to keep its differential window >= ~1 s of compute.
         table = (NITER_ADVI if name == "advi"
+                 else NITER if name == "bam_fused"
                  else NITER_BAM if "bam" in name else NITER)
         niter = table[t.d] if not SMOKE else 50
         try:
@@ -228,8 +231,8 @@ def bench_matrix(targets):
                                regf=Regularizers().linear(100.0), niter=n,
                                batch_size=B, verbose=False, retries=0)
 
-    def fbam_run(t):
-        g = FactorBaM(D=t.d, lp=t.lp, lp_g=t.lp_g)
+    def fbam_run(t, **kw):
+        g = FactorBaM(D=t.d, lp=t.lp, lp_g=t.lp_g, **kw)
         return lambda n: g.fit(jax.random.PRNGKey(0),
                                regf=Regularizers().linear(100.0), niter=n,
                                batch_size=B, verbose=False, retries=0)
@@ -252,7 +255,9 @@ def bench_matrix(targets):
         add("factor_gsm", d, lambda t: fgsm_run(t, use_pallas=False))
         add("bam", d, lambda t: bam_run(t))
         add("bam_lowrank", d, lambda t: bam_run(t, use_lowrank=True))
-        add("factor_bam", d, lambda t: fbam_run(t))
+        add("factor_bam", d, lambda t: fbam_run(t, use_pallas=False))
+        add("bam_fused", d,
+            lambda t: fbam_run(t, pallas_score=t.pallas_score))
         add("advi", d, lambda t: advi_run(t))
     if not SMOKE:
         add("gsm", 512, lambda t: gsm_run(t, use_pallas=False))
