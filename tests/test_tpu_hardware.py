@@ -166,3 +166,54 @@ def test_fused_zoo_scores_run_on_hardware():
     assert np.all(np.isfinite(m))
     assert np.all(np.linalg.eigvalsh(np.asarray(cov)) > 0)
     np.testing.assert_allclose(m, np.asarray(t.mean), atol=0.05)
+
+
+def test_bam_fused_update_matches_xla_svd_on_tpu(rng32):
+    """VERDICT r2 item #2 acceptance: the Mosaic-compiled fused BaM update
+    agrees with the XLA bam_eps SVD path <= 1e-5 on hardware (benign
+    conditioning; stiff steps are gate-flagged and replayed, tested below)."""
+    from gsmvi_tpu.ops.bam_eps import bam_eps_update
+    from gsmvi_tpu.ops.pallas.bam_fused import bam_eps_update_fused
+
+    b, d = 32, 256
+    f = (0.05 * rng32.normal(size=(d, d)) + np.eye(d)).astype(np.float32)
+    mu = rng32.normal(size=d).astype(np.float32)
+    eps = rng32.normal(size=(b, d)).astype(np.float32)
+    x = mu + eps @ f.T
+    v = (-(x - 0.5)).astype(np.float32)
+    reg = 1.0
+    m_x, f_x, good_x = bam_eps_update(jnp.asarray(eps), jnp.asarray(v),
+                                      jnp.asarray(mu), jnp.asarray(f), reg,
+                                      solver="svd")
+    m_p, f_p, good_p, stiff = bam_eps_update_fused(
+        jnp.asarray(eps), jnp.asarray(v), jnp.asarray(mu), jnp.asarray(f),
+        reg)
+    assert bool(good_x) and bool(good_p) and not bool(stiff)
+    np.testing.assert_allclose(np.asarray(m_p), np.asarray(m_x), atol=1e-5)
+    s_p = np.asarray(f_p) @ np.asarray(f_p).T
+    s_x = np.asarray(f_x @ f_x.T)
+    scale = max(1.0, float(np.abs(s_x).max()))
+    np.testing.assert_allclose(s_p, s_x, atol=1e-5 * scale)
+
+
+def test_bam_fused_whole_step_fit_converges_on_tpu():
+    """Fused multistep BaM (with stiff replay) recovers the bench target's
+    moments at D=256 — the stiff early phase must not bias the fit."""
+    from gsmvi_tpu import FactorBaM, Regularizers
+    from gsmvi_tpu.models import dense_gaussian
+
+    d = 256
+    t = dense_gaussian(jax.random.PRNGKey(3), d)
+    g = FactorBaM(D=d, lp=t.lp, lp_g=t.lp_g, pallas_score=t.pallas_score,
+                  steps_per_call=8)
+    assert g._pallas_mode(32) == "step"
+    state = g.fit(jax.random.PRNGKey(0), regf=Regularizers().linear(100.0),
+                  niter=8000, batch_size=32, verbose=False, retries=0,
+                  return_state=True)
+    assert int(state.step) == 8001
+    me = float(np.max(np.abs(np.asarray(state.mean) - np.asarray(t.mean))))
+    cov = np.asarray(state.factor @ state.factor.T)
+    ce = float(np.max(np.abs(cov - np.asarray(t.cov)))
+               / max(1.0, float(np.abs(np.asarray(t.cov)).max())))
+    assert me < 1e-2, me
+    assert ce < 1e-2, ce
