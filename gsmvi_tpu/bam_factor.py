@@ -410,3 +410,43 @@ class FactorBaM:
         if return_state:
             return state
         return state.mean, factor_to_cov(state.factor)
+
+    def fit_batch(self, keys, regf, mean=None, cov=None, batch_size=2,
+                  niter=5000, retries=10, return_state=False):
+        """K independent FactorBaM replicas in one compiled program.
+
+        Same contract as ``BaM.fit_batch``; ``regf`` must be a pure
+        schedule.  Replica fits vmap the step; vmap-of-pallas_call has no
+        batching rule, so the XLA path is forced (as FactorGSM.fit_batch).
+        """
+        k = keys.shape[0]
+        d = self.D
+        dtype = self.dtype
+
+        from .driver import broadcast_replicas
+
+        def broadcast(x, default, shape):
+            return broadcast_replicas(x, default, k, shape, dtype)
+
+        means0 = broadcast(mean, jnp.zeros(d, dtype), (d,))
+        covs0 = broadcast(cov, jnp.eye(d, dtype=dtype), (d, d))
+
+        def init_one(kk, m, c):
+            zero = jnp.zeros((), jnp.int32)
+            return FactorVIState(m, safe_cholesky(c),
+                                 jnp.zeros((0, 0), dtype), kk, zero, zero,
+                                 zero)
+
+        state = jax.vmap(init_one)(keys, means0, covs0)
+        step = jax.vmap(self._make_step(batch_size, regf, retries,
+                                        allow_pallas=False))
+
+        @jax.jit
+        def run(s):
+            return jax.lax.scan(lambda c, _: (step(c), None), s, None,
+                                length=niter + 1)[0]
+
+        state = run(state)
+        if return_state:
+            return state
+        return state.mean, jax.vmap(factor_to_cov)(state.factor)

@@ -297,3 +297,22 @@ def test_bam_fused_supported_gate():
     # Param bytes are budgeted at their real sizes.
     assert not bam_fused_supported(32, 1024, steps_per_call=8,
                                    param_shapes=[(100000, 1024)])
+
+
+def test_factorbam_fused_runner_with_monitor(rng, monkeypatch):
+    """The fused while_loop chunk runner must honor monitor cadence (chunk
+    boundaries) and still advance exactly niter+1 steps."""
+    from gsmvi_tpu import Regularizers
+    from gsmvi_tpu.models import dense_gaussian
+    from gsmvi_tpu.utils.monitors import KLMonitor
+
+    d = 8
+    t = dense_gaussian(jax.random.PRNGKey(7), d, scale=0.3)
+    g = _fused_factorbam(t, d, monkeypatch, steps_per_call=4)
+    mon = KLMonitor(batch_size_kl=8, checkpoint=50)
+    state = g.fit(jax.random.PRNGKey(0), regf=Regularizers().linear(20.0),
+                  niter=200, batch_size=8, verbose=False, retries=0,
+                  monitor=mon, return_state=True)
+    assert int(state.step) == 201
+    assert len(mon.rkl) == 200 // 50 + 2  # in-loop checkpoints + final call
+    assert np.isfinite(np.asarray(mon.rkl)).all()

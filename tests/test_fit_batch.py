@@ -79,3 +79,22 @@ def test_advi_fit_batch():
     for i in range(3):
         np.testing.assert_allclose(means[i], t.mean, atol=0.3)
         assert losses[i, -100:].mean() < losses[i, :100].mean()
+
+
+def test_factor_bam_fit_batch():
+    from gsmvi_tpu import FactorBaM, Regularizers
+
+    t = dense_gaussian(jax.random.PRNGKey(3), 8)
+    bam = FactorBaM(D=t.d, lp=t.lp, lp_g=t.lp_g)
+    keys = jax.random.split(jax.random.PRNGKey(0), 3)
+    means, covs = bam.fit_batch(keys, regf=Regularizers().linear(50.0),
+                                niter=300, batch_size=8)
+    assert means.shape == (3, 8) and covs.shape == (3, 8, 8)
+    for i in range(3):
+        np.testing.assert_allclose(means[i], t.mean, atol=2e-2)
+
+    # Replica j equals fit() with the same key (same pure step).
+    m_ref, c_ref = bam.fit(keys[1], regf=Regularizers().linear(50.0),
+                           niter=300, batch_size=8, verbose=False)
+    np.testing.assert_allclose(means[1], m_ref, atol=1e-8)
+    np.testing.assert_allclose(covs[1], c_ref, atol=1e-8)
