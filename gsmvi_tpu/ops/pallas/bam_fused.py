@@ -63,20 +63,31 @@ else:  # pragma: no cover
     pltpu = None
 
 # Newton-Schulz sweep counts (u_sqrt, cu_inv, s1_sqrt, p_invsqrt, w_inv) for
-# the five small-space solves.  Sized for the gated regime (lmax(G) and
-# lmax(Om^T Om) <= ~LMAX_GATE_DEFAULT, so cond(I + 4G) <= ~4e4): NS sqrt
-# warm-up is conditioning-bound at ~log2(cond) + margin sweeps (the repo's
-# measured rule — 20 sweeps at cond 1e4, tests/test_bam_eps.py), the
-# (I + s)^{-1/2} chain sees cond ~ sqrt(1 + 4 lmax) ~ 2e2, and the final
-# inverse's operand has spectrum in (1, 2].  Residual gates reject the step
-# if any chain failed to converge (stiffer than the gate anticipated).
-BAM_NS_ITERS_DEFAULT = (22, 14, 22, 14, 7)
+# the five small-space solves, sized for the GATED envelope (both gates
+# below) by a CPU accuracy study vs the SVD path (2026-08-18): the cu chain
+# (u_sqrt/cu_inv — conditioning ~ gu norm, reg-scaled, bounded by the gu
+# gate at ~5e4) keeps 20/13 sweeps; the tau chain (s1/p/w — conditioning
+# bounded by the lmax gate at 1e4) trims to 16/11/6.  Map error within the
+# envelope: <= ~2e-4 of the SVD result (vs ~1e-4 at the former
+# (22,14,22,14,7) — and BOTH tuples silently bias once the gu gate is
+# exceeded, which is why the gate exists, not longer chains).  CAUTION: the
+# residual gates catch catastrophic loss, NOT slow bias — revalidate map
+# error vs the SVD path (tests/test_bam_fused.py) when touching this.
+BAM_NS_ITERS_DEFAULT = (20, 13, 16, 11, 6)
 
 # lmax(G) above which the f32 Gram no longer resolves O(1) eigenvalues to
 # the ~1e-3 absolute accuracy the contraction weights need near l ~ 1
 # (eps_f32 * lmax ~ 1.2e-3 at 1e4).  Tuned against the SVD path: see
 # tests/test_bam_fused.py and docs/BENCHMARKS.md.
 LMAX_GATE_DEFAULT = 1e4
+
+# Row-sum-norm bound on lmax(Om^T Om) above which the cu chain (whose
+# conditioning is reg-scaled and INDEPENDENT of the Y gate — gu norm ~
+# reg * lmax(ed Gram) / B ~ 26 * reg at B=32, D=256) goes silently biased
+# in f32: measured 5e-3..2e-2 map error WITH residual gates still green at
+# gu ~ 2.6e5 (reg ~ 1e4), <= 2e-4 at 2.6e4 (reg ~ 1e3).  Steps above it
+# are flagged stiff and replayed on the XLA path.
+GU_GATE_DEFAULT = 5e4
 
 
 def _ns_sqrt_both(a, iters: int):
@@ -156,6 +167,7 @@ def _bam_smallspace_ns(e, v, mu, f, reg, *, batch: int,
     # W1 = I + Om cu Om^T with cu = (I + sqrt(I + Om^T Om))^{-1}.
     gu = mm_t(om_t, om_t)
     gu = 0.5 * (gu + gu.T)
+    gu_ub = _spd_norm_ub(gu)
     s_u = _ns_sqrt(eye_k + gu, iters[0])
     s_u = 0.5 * (s_u + s_u.T)
     res_u = jnp.sum((mm(s_u, s_u) - (eye_k + gu)) ** 2) \
@@ -171,7 +183,10 @@ def _bam_smallspace_ns(e, v, mu, f, reg, *, batch: int,
     g = mm_t(y_t, y_t)                                     # (kpad, kpad)
     g = 0.5 * (g + g.T)
     lmax_ub = _spd_norm_ub(g)
-    stiff = lmax_ub > lmax_gate
+    # Two independent stiffness statistics: the tau chain's Gram (Y-scaled)
+    # and the cu chain's (reg-scaled) — either exceeding its f32-resolvable
+    # bound flags the step for XLA replay.
+    stiff = (lmax_ub > lmax_gate) | (gu_ub > GU_GATE_DEFAULT)
     a1 = eye_k + 4.0 * g
     s1 = _ns_sqrt(a1, iters[2])
     s1 = 0.5 * (s1 + s1.T)

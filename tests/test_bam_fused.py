@@ -316,3 +316,24 @@ def test_factorbam_fused_runner_with_monitor(rng, monkeypatch):
     assert int(state.step) == 201
     assert len(mon.rkl) == 200 // 50 + 2  # in-loop checkpoints + final call
     assert np.isfinite(np.asarray(mon.rkl)).all()
+
+
+def test_gu_gate_flags_extreme_reg_even_with_benign_y(rng):
+    """The cu chain's conditioning is reg-scaled and independent of Y: at
+    reg ~ 1e4 with TINY scores (benign Y) the map goes silently biased with
+    residual gates still green — the gu-norm gate must flag stiff there."""
+    b, d = 32, 128
+    e = rng.normal(size=(b, d)).astype(np.float32)
+    f = (np.eye(d) + 0.02 * rng.normal(size=(d, d))).astype(np.float32)
+    mu = rng.normal(size=d).astype(np.float32)
+    v = (0.02 * rng.normal(size=(b, d))).astype(np.float32)
+    _, _, good, stiff = _bam_smallspace_ns(
+        jnp.asarray(e), jnp.asarray(v), jnp.asarray(mu).reshape(1, d),
+        jnp.asarray(f), 1e4, batch=b, lmax_gate=float("inf"))
+    assert bool(stiff)
+    # And comfortably below the gate (reg ~ 100, gu ~ 2.6e3) it stays off.
+    _, _, good, stiff = _bam_smallspace_ns(
+        jnp.asarray(e), jnp.asarray(v), jnp.asarray(mu).reshape(1, d),
+        jnp.asarray(f), 100.0, batch=b, lmax_gate=float("inf"))
+    assert not bool(stiff)
+    assert bool(good)
