@@ -337,3 +337,39 @@ def test_gu_gate_flags_extreme_reg_even_with_benign_y(rng):
         jnp.asarray(f), 100.0, batch=b, lmax_gate=float("inf"))
     assert not bool(stiff)
     assert bool(good)
+
+
+def test_fuzz_grid_ns_map_vs_svd(rng):
+    """Randomized (reg, score-scale, factor-conditioning) grid: every
+    non-stiff step's NS map must track the SVD path to <= 1e-3 relative;
+    stiff steps are excluded (they replay).  Statistical safety net behind
+    the two gates + sweep-count choices."""
+    b, d = 16, 48
+    checked = 0
+    for reg in (0.2, 2.0, 20.0, 200.0):
+        for sscale in (0.05, 0.5, 5.0):
+            for fcond in (0.02, 0.3):
+                e = rng.normal(size=(b, d)).astype(np.float32)
+                f = (np.eye(d)
+                     + fcond * rng.normal(size=(d, d))).astype(np.float32)
+                mu = rng.normal(size=d).astype(np.float32)
+                x = mu + e @ f.T
+                v = (-sscale * x).astype(np.float32)
+                args = (jnp.asarray(e), jnp.asarray(v), jnp.asarray(mu),
+                        jnp.asarray(f))
+                m_ns, f_ns, good, stiff = _bam_smallspace_ns(
+                    args[0], args[1], args[2].reshape(1, d), args[3], reg,
+                    batch=b)
+                if bool(stiff) or not bool(good):
+                    continue
+                m_x, f_x, _ = bam_eps_update(*args, reg, solver="svd")
+                s_x = np.asarray(f_x @ f_x.T)
+                s_n = np.asarray(f_ns @ f_ns.T)
+                sc = max(1.0, float(np.abs(s_x).max()))
+                assert np.abs(s_n - s_x).max() / sc < 1e-3, (reg, sscale,
+                                                             fcond)
+                msc = max(1.0, float(np.abs(np.asarray(m_x)).max()))
+                assert np.abs(np.asarray(m_ns[0])
+                              - np.asarray(m_x)).max() / msc < 1e-3
+                checked += 1
+    assert checked >= 10  # the gates must not eat the whole grid
