@@ -373,3 +373,33 @@ def test_fuzz_grid_ns_map_vs_svd(rng):
                               - np.asarray(m_x)).max() / msc < 1e-3
                 checked += 1
     assert checked >= 10  # the gates must not eat the whole grid
+
+
+def test_fused_trajectory_invariant_to_spc_and_monitor_cadence(rng,
+                                                               monkeypatch):
+    """eps is drawn per ABSOLUTE step (fold_in(key, step)), so the fused
+    trajectory must be bit-stable under steps_per_call and chunk-cadence
+    (monitor checkpoint) changes."""
+    from gsmvi_tpu import Regularizers
+    from gsmvi_tpu.models import dense_gaussian
+    from gsmvi_tpu.utils.monitors import KLMonitor
+
+    d = 8
+    t = dense_gaussian(jax.random.PRNGKey(7), d, scale=0.3)
+    regf = Regularizers().linear(20.0)
+
+    def run(spc, monitor=None):
+        g = _fused_factorbam(t, d, monkeypatch, steps_per_call=spc)
+        return g.fit(jax.random.PRNGKey(0), regf=regf, niter=60,
+                     batch_size=8, verbose=False, retries=0,
+                     monitor=monitor, return_state=True)
+
+    s2 = run(2)
+    s4 = run(4)
+    s4m = run(4, monitor=KLMonitor(batch_size_kl=8, checkpoint=17))
+    np.testing.assert_allclose(np.asarray(s2.mean), np.asarray(s4.mean),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(s2.factor), np.asarray(s4.factor),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(s4.mean), np.asarray(s4m.mean))
+    assert int(s2.n_accepted) == int(s4.n_accepted)
