@@ -6,8 +6,10 @@ factor, the rank-structured covariance updates are known in factor
 coordinates for free — the hot loop contains no Cholesky, no eigh, no sqrtm
 of anything D-sized (see ops/gsm_eps.py and ops/bam_eps.py for the math).
 
-On TPU, FactorGSM additionally fuses the ENTIRE iteration into one Pallas
-kernel when the target provides an in-kernel score (``target.pallas_score``).
+On TPU, both fitters additionally fuse the ENTIRE iteration into Pallas
+kernels when the target provides an in-kernel score (``target.pallas_score``);
+FactorBaM replays the occasional gate-flagged stiff step through its XLA
+thin-SVD path, so fused throughput never costs converged accuracy.
 
 Run: PYTHONPATH=. JAX_PLATFORMS=cpu python examples/example_factor.py
 """
@@ -30,7 +32,8 @@ if __name__ == "__main__":
           float(np.abs(np.asarray(state.mean) - np.asarray(target.mean)).max()),
           f" accepted {int(state.n_accepted)}/{int(state.step)}")
 
-    fb = FactorBaM(D=D, lp=target.lp, lp_g=target.lp_g)
+    fb = FactorBaM(D=D, lp=target.lp, lp_g=target.lp_g,
+                   pallas_score=target.pallas_score)  # fused on TPU
     mean, cov = fb.fit(jax.random.PRNGKey(99),
                        regf=Regularizers().linear(100.0), niter=500,
                        batch_size=32, verbose=False)
