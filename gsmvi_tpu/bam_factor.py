@@ -45,8 +45,9 @@ from .driver import RunnerCache, is_traceable, make_chunk_runner, \
 from .gsm_factor import FactorVIState
 from .ops.bam_eps import bam_eps_update
 from .ops.gsm_factor import factor_to_cov
-from .ops.pallas.bam_fused import (BAM_NS_ITERS_DEFAULT, LMAX_GATE_DEFAULT,
-                                   bam_eps_update_fused, bam_fused_supported,
+from .ops.pallas.bam_fused import (BAM_NS_ITERS_DEFAULT, GU_GATE_DEFAULT,
+                                   LMAX_GATE_DEFAULT, bam_eps_update_fused,
+                                   bam_fused_supported,
                                    make_fused_bam_multistep)
 from .parallel.mesh import data_sharding
 
@@ -58,6 +59,7 @@ class FactorBaM:
                  dtype=None, solver: str = "auto",
                  use_pallas: "bool | str" = "auto", pallas_score=None,
                  steps_per_call=None, lmax_gate: float = LMAX_GATE_DEFAULT,
+                 gu_gate: float = GU_GATE_DEFAULT,
                  ns_iters=BAM_NS_ITERS_DEFAULT):
         """``use_pallas`` ("auto"/True/False) fuses the BaM step into Pallas
         kernels on TPU (ops/pallas/bam_fused.py): with ``pallas_score`` (a
@@ -68,7 +70,10 @@ class FactorBaM:
         ``lmax_gate`` (the f32-resolvable bound, see bam_fused.py) are
         detected in-kernel and REPLAYED on the XLA SVD path with the same
         draw, so stiff early iterations keep SVD-grade accuracy while
-        steady-state throughput is the fused kernel's.  Trajectories on the
+        steady-state throughput is the fused kernel's.  ``gu_gate`` bounds
+        the second (reg-scaled) stiffness statistic the same way — at
+        reg >~ gu_gate/26 every step replays; lower it for accuracy, raise
+        it only with a measured map-error study (bam_fused.py).  Trajectories on the
         fused path draw eps per absolute step index (``fold_in(key, step)``)
         and are invariant to ``steps_per_call`` and chunk cadence."""
         self.D = D
@@ -88,6 +93,7 @@ class FactorBaM:
         self.steps_per_call = (steps_per_call if steps_per_call is not None
                                else (16 if D <= 128 else 8))
         self.lmax_gate = float(lmax_gate)
+        self.gu_gate = float(gu_gate)
         self.ns_iters = tuple(ns_iters)
         # Tests drive the fused path on CPU via pallas interpret mode
         # (plus monkeypatched on_tpu); not part of the public surface.
@@ -134,17 +140,14 @@ class FactorBaM:
                     if self.mesh is not None else None)
         mode = self._pallas_mode(batch_size) if allow_pallas else None
 
-        def attempt(key, state, eps=None):
-            """One sample->score->SVD-update attempt.  With ``eps`` given the
-            draw is reused (stiff-replay: identical sample, exact
-            semantics); otherwise a fresh draw is split off ``key``."""
+        def attempt(key, state):
+            """One sample->score->XLA-update attempt with a fresh draw
+            (the plain path, and the resample-retry body everywhere)."""
             with jax.default_matmul_precision("float32"):
-                if eps is None:
-                    key, key_sample = jax.random.split(key)
-                    eps = jax.random.normal(key_sample, (batch_size, d),
-                                            dtype)
-                    if sharding is not None:
-                        eps = jax.lax.with_sharding_constraint(eps, sharding)
+                key, key_sample = jax.random.split(key)
+                eps = jax.random.normal(key_sample, (batch_size, d), dtype)
+                if sharding is not None:
+                    eps = jax.lax.with_sharding_constraint(eps, sharding)
                 samples = state.mean + eps @ state.factor.T
                 # Pin the score to the state dtype: a user lp_g emitting f64
                 # under global x64 would otherwise promote the whole carry.
@@ -157,41 +160,31 @@ class FactorBaM:
         if mode == "update" and self.mesh is not None:
             # Mesh-composed fused BaM step: per-shard scores, one all_gather
             # of the O(B*D) rows, replicated fused kernel + stiff-replay
-            # cond (mirrors FactorGSM's mesh-composed update).
-            from functools import partial as _partial
+            # cond (the shared FactorGSM pattern, parallel/sharded.py).
+            from .parallel.sharded import make_gathered_update
 
-            from jax.sharding import PartitionSpec as P
-
-            mesh = self.mesh
-            axis = self.data_axis
             lmax_gate = self.lmax_gate
+            gu_gate = self.gu_gate
             ns_iters = self.ns_iters
             interp = self._interpret
 
-            @_partial(jax.shard_map, mesh=mesh,
-                      in_specs=(P(axis, None), P(), P(None, None), P()),
-                      out_specs=(P(), P(None, None), P()),
-                      check_vma=False)
-            def gathered_attempt(eps_local, mean, f, reg):
-                with jax.default_matmul_precision("float32"):
-                    vs_local = lp_g(mean + eps_local @ f.T)
-                    eps_full = jax.lax.all_gather(eps_local, axis, axis=0,
-                                                  tiled=True)
-                    vs_full = jax.lax.all_gather(
-                        vs_local.astype(jnp.float32), axis, axis=0,
-                        tiled=True)
-                    mu_p, f_p, good, stiff = bam_eps_update_fused(
-                        eps_full, vs_full, mean, f, reg, iters=ns_iters,
-                        lmax_gate=lmax_gate, interpret=interp)
+            def fused_then_replay(eps_full, vs_full, mean, f, reg):
+                mu_p, f_p, good, stiff = bam_eps_update_fused(
+                    eps_full, vs_full, mean, f, reg, iters=ns_iters,
+                    lmax_gate=lmax_gate, gu_gate=gu_gate, interpret=interp)
 
-                    def svd_branch(_):
-                        mu_s, f_s, good_s = bam_eps_update(
-                            eps_full, vs_full, mean, f, reg, solver=solver)
-                        return (mu_s.astype(jnp.float32),
-                                f_s.astype(jnp.float32), good_s)
+                def svd_branch(_):
+                    mu_s, f_s, good_s = bam_eps_update(
+                        eps_full, vs_full, mean, f, reg, solver=solver)
+                    return (mu_s.astype(jnp.float32),
+                            f_s.astype(jnp.float32), good_s)
 
-                    return jax.lax.cond(stiff, svd_branch,
-                                        lambda _: (mu_p, f_p, good), None)
+                return jax.lax.cond(stiff, svd_branch,
+                                    lambda _: (mu_p, f_p, good), None)
+
+            gathered_attempt = make_gathered_update(
+                self.mesh, self.data_axis, lp_g, fused_then_replay,
+                n_extra=1)
 
             def fused_attempt(key, state):
                 key, key_sample = jax.random.split(key)
@@ -204,6 +197,7 @@ class FactorBaM:
             first_attempt = fused_attempt
         elif mode == "update":
             lmax_gate = self.lmax_gate
+            gu_gate = self.gu_gate
             ns_iters = self.ns_iters
 
             def fused_attempt(key, state):
@@ -223,7 +217,7 @@ class FactorBaM:
                     mu_p, f_p, good, stiff = bam_eps_update_fused(
                         eps, vs, state.mean, state.factor, reg,
                         iters=ns_iters, lmax_gate=lmax_gate,
-                        interpret=self._interpret)
+                        gu_gate=gu_gate, interpret=self._interpret)
 
                     def svd_branch(_):
                         mu_s, f_s, good_s = bam_eps_update(
@@ -287,7 +281,7 @@ class FactorBaM:
         solver = self.solver
         multi = make_fused_bam_multistep(
             score_fn, len(params), batch_size, d, spc, iters=self.ns_iters,
-            lmax_gate=self.lmax_gate,
+            lmax_gate=self.lmax_gate, gu_gate=self.gu_gate,
             interpret=interpret or self._interpret)
         stop_on_reject = 1 if retries > 0 else 0
 
@@ -388,9 +382,17 @@ class FactorBaM:
             raise TypeError("FactorBaM requires a jax-traceable lp_g; "
                             "use BaM for plain-numpy score functions")
         mode = self._pallas_mode(batch_size)
+        # The key must cover EVERYTHING the compiled runner closes over:
+        # hashable config inline, unhashable objects (regf, the pallas_score
+        # pair) by pinned identity — a stale hit on a mutated fitter would
+        # silently fit the wrong target (RunnerCache docstring).
+        score_objs = ()
+        if self.pallas_score is not None:
+            score_objs = (self.pallas_score[0], *self.pallas_score[1])
         run_chunk = self._runners.get(
-            (batch_size, retries, mode, self.steps_per_call,
-             self._interpret), (regf,),
+            (batch_size, retries, mode, self.steps_per_call, self.solver,
+             self.lmax_gate, self.gu_gate, self.ns_iters, self._interpret),
+            (regf, *score_objs),
             lambda: (self._make_fused_runner(batch_size, regf, retries)
                      if mode == "step" else
                      make_chunk_runner(

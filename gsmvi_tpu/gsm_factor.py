@@ -22,7 +22,8 @@ import jax
 import jax.numpy as jnp
 
 from .distributions import safe_cholesky
-from .driver import is_traceable, make_chunk_runner, on_tpu, run_fit_loop
+from .driver import RunnerCache, is_traceable, make_chunk_runner, \
+    on_tpu, run_fit_loop
 from .ops.gsm_eps import apply_eps_step
 from .ops.gsm_factor import (factor_gsm_step_stats, factor_gsm_step_stats_v2,
                              factor_refresh, factor_to_cov)
@@ -132,7 +133,7 @@ class FactorGSM:
         # Tests drive the fused paths on CPU via pallas interpret mode
         # (plus monkeypatched on_tpu); not part of the public surface.
         self._interpret = False
-        self._runners = {}
+        self._runners = RunnerCache()
 
     def _pallas_mode(self, batch_size: int):
         """None | "update" | "step" — which fused kernel this config uses."""
@@ -168,14 +169,24 @@ class FactorGSM:
         return None
 
     def _get_runner(self, batch_size: int):
-        if batch_size not in self._runners:
-            if (self._pallas_mode(batch_size) == "step"
-                    and self.steps_per_call > 1):
-                self._runners[batch_size] = self._make_fused_runner(batch_size)
-            else:
-                self._runners[batch_size] = make_chunk_runner(
-                    self._make_step(batch_size))
-        return self._runners[batch_size]
+        # The key covers everything the compiled runner closes over:
+        # hashable config inline, the pallas_score pair by pinned identity
+        # (a stale hit on a mutated fitter would silently fit the wrong
+        # target — RunnerCache docstring).
+        mode = self._pallas_mode(batch_size)
+        score_objs = ()
+        if self.pallas_score is not None:
+            score_objs = (self.pallas_score[0], *self.pallas_score[1])
+
+        def build():
+            if mode == "step" and self.steps_per_call > 1:
+                return self._make_fused_runner(batch_size)
+            return make_chunk_runner(self._make_step(batch_size))
+
+        return self._runners.get(
+            (batch_size, mode, self.steps_per_call, self.method,
+             self.ns_iters, self.pallas_precision, self.refresh_every,
+             self._interpret), score_objs, build)
 
     def _make_fused_runner(self, batch_size: int):
         """Chunk runner on the multi-step kernel: dispatch amortized over
@@ -272,28 +283,13 @@ class FactorGSM:
                 # chip computes the identical new (mean, F), so a sharded
                 # fit keeps the whole fused-kernel win instead of dropping
                 # to the XLA op sequence.
-                from functools import partial as _partial
+                from .parallel.sharded import make_gathered_update
 
-                from jax.sharding import PartitionSpec as P
-
-                mesh = self.mesh
-                axis = self.data_axis
-
-                @_partial(jax.shard_map, mesh=mesh,
-                          in_specs=(P(axis, None), P(), P(None, None)),
-                          out_specs=(P(), P(None, None), P()),
-                          check_vma=False)
-                def gathered_update(eps_local, mean, f):
-                    with jax.default_matmul_precision("float32"):
-                        vs_local = lp_g(mean + eps_local @ f.T)
-                        eps_full = jax.lax.all_gather(eps_local, axis,
-                                                      axis=0, tiled=True)
-                        vs_full = jax.lax.all_gather(
-                            vs_local.astype(jnp.float32), axis, axis=0,
-                            tiled=True)
-                        return gsm_eps_update_fused(
-                            eps_full, vs_full, mean, f, iters=ns_iters,
-                            big_prec=big_prec, interpret=interpret)
+                gathered_update = make_gathered_update(
+                    self.mesh, self.data_axis, lp_g,
+                    lambda e, v, mean, f: gsm_eps_update_fused(
+                        e, v, mean, f, iters=ns_iters, big_prec=big_prec,
+                        interpret=interpret))
 
                 def step(state: FactorVIState) -> FactorVIState:
                     key, key_sample = jax.random.split(state.key)
@@ -337,7 +333,9 @@ class FactorGSM:
             if sharding is not None:
                 eps = jax.lax.with_sharding_constraint(eps, sharding)
             samples = state.mean + eps @ state.factor.T
-            vs = lp_g(samples)
+            # Pin the score to the state dtype: a user lp_g emitting f64
+            # under global x64 would otherwise promote the whole carry.
+            vs = lp_g(samples).astype(dtype)
             if method == "eps":
                 mean, f, good = apply_eps_step(state.mean, state.factor,
                                                eps, vs)

@@ -53,9 +53,9 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-from .fused_step import (_HAS_PLTPU, _HI, _VMEM_LIMIT_BYTES, _boxmuller,
+from .fused_step import (_HAS_PLTPU, _HI, _VMEM_LIMIT_BYTES,
                          _compiler_params, _newton_inv, _ns_sqrt,
-                         _spd_norm_ub)
+                         _param_bytes, _spd_norm_ub)
 
 if _HAS_PLTPU:
     from jax.experimental.pallas import tpu as pltpu
@@ -112,6 +112,7 @@ def _ns_sqrt_both(a, iters: int):
 def _bam_smallspace_ns(e, v, mu, f, reg, *, batch: int,
                        iters=BAM_NS_ITERS_DEFAULT,
                        lmax_gate: float = LMAX_GATE_DEFAULT,
+                       gu_gate: float = GU_GATE_DEFAULT,
                        tol: float = 3e-3, big_prec=None):
     """Loop-free BaM factor update on VMEM-sized values.
 
@@ -186,7 +187,7 @@ def _bam_smallspace_ns(e, v, mu, f, reg, *, batch: int,
     # Two independent stiffness statistics: the tau chain's Gram (Y-scaled)
     # and the cu chain's (reg-scaled) — either exceeding its f32-resolvable
     # bound flags the step for XLA replay.
-    stiff = (lmax_ub > lmax_gate) | (gu_ub > GU_GATE_DEFAULT)
+    stiff = (lmax_ub > lmax_gate) | (gu_ub > gu_gate)
     a1 = eye_k + 4.0 * g
     s1 = _ns_sqrt(a1, iters[2])
     s1 = 0.5 * (s1 + s1.T)
@@ -232,28 +233,20 @@ def bam_fused_supported(b: int, d: int, steps_per_call: int = 1,
         return False
     if b < 4 or b % 4 != 0:
         return False
-    if param_shapes is None:
-        param_bytes = d * d * itemsize
-    else:
-        param_bytes = 0
-        for shp in param_shapes:
-            n = 1
-            for s in shp:
-                n *= max(int(s), 1)
-            param_bytes += max(n, 8 * 128) * itemsize
     kpad = b + 8
     vmem = 6 * d * d * itemsize + 2 * steps_per_call * b * d * itemsize \
         + 8 * b * d * itemsize + 12 * kpad * kpad * itemsize \
-        + 2 * param_bytes
+        + 2 * _param_bytes(param_shapes, d, itemsize)
     return vmem < _VMEM_LIMIT_BYTES
 
 
 def _update_kernel(reg_ref, eps_ref, vs_ref, mu_ref, f_ref,
                    mu_out, f_out, flags_out, *, batch: int, iters,
-                   lmax_gate: float, big_prec):
+                   lmax_gate: float, gu_gate: float, big_prec):
     mu_new, f_new, good, stiff = _bam_smallspace_ns(
         eps_ref[:], vs_ref[:], mu_ref[:], f_ref[:], reg_ref[0],
-        batch=batch, iters=iters, lmax_gate=lmax_gate, big_prec=big_prec)
+        batch=batch, iters=iters, lmax_gate=lmax_gate, gu_gate=gu_gate,
+        big_prec=big_prec)
     keep = good & ~stiff
     mu_out[:] = jnp.where(keep, mu_new, mu_ref[:])
     f_out[:] = jnp.where(keep, f_new, f_ref[:])
@@ -262,10 +255,12 @@ def _update_kernel(reg_ref, eps_ref, vs_ref, mu_ref, f_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "iters",
-                                             "lmax_gate", "big_prec"))
+                                             "lmax_gate", "gu_gate",
+                                             "big_prec"))
 def bam_eps_update_fused(eps, vs, mean, f, reg, interpret: bool = False,
                          iters=BAM_NS_ITERS_DEFAULT,
                          lmax_gate: float = LMAX_GATE_DEFAULT,
+                         gu_gate: float = GU_GATE_DEFAULT,
                          big_prec=None):
     """Fused BaM factor update + validity + select, one Pallas call.
 
@@ -284,7 +279,8 @@ def bam_eps_update_fused(eps, vs, mean, f, reg, interpret: bool = False,
     reg = jnp.asarray(reg, dtype).reshape(1)
 
     kernel = functools.partial(_update_kernel, batch=b, iters=iters,
-                               lmax_gate=lmax_gate, big_prec=big_prec)
+                               lmax_gate=lmax_gate, gu_gate=gu_gate,
+                               big_prec=big_prec)
     smem = (dict(memory_space=pltpu.SMEM) if _HAS_PLTPU else {})
     vmem = (dict(memory_space=pltpu.VMEM) if _HAS_PLTPU else {})
     mu_new, f_new, flags = pl.pallas_call(
@@ -308,6 +304,7 @@ def make_fused_bam_multistep(score_fn, n_params: int, batch: int, d: int,
                              steps_per_call: int,
                              iters=BAM_NS_ITERS_DEFAULT,
                              lmax_gate: float = LMAX_GATE_DEFAULT,
+                             gu_gate: float = GU_GATE_DEFAULT,
                              big_prec=None, interpret: bool = False):
     """Up to ``steps_per_call`` whole BaM iterations per kernel invocation.
 
@@ -349,7 +346,7 @@ def make_fused_bam_multistep(score_fn, n_params: int, batch: int, d: int,
             v = score_fn(x, *params)
             mu_new, f_new, good, stiff = _bam_smallspace_ns(
                 e, v, mu, f, regs_ref[j], batch=batch, iters=iters,
-                lmax_gate=lmax_gate, big_prec=big_prec)
+                lmax_gate=lmax_gate, gu_gate=gu_gate, big_prec=big_prec)
             stop_now = active & (stiff | (stop_on_reject & ~good))
             consume = active & ~stop_now
             accept = consume & good

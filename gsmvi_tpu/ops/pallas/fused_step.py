@@ -63,6 +63,22 @@ def _compiler_params(interpret: bool):
     return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT_BYTES)
 
 
+def _param_bytes(param_shapes, d: int, itemsize: int = 4) -> int:
+    """VMEM bytes for the pallas_score parameter arrays at their REAL sizes
+    (default: one D x D param, the analytic-Gaussian precision).  Mosaic
+    pads the trailing two dims to the (8, 128) tile — approximated by a
+    per-array floor."""
+    if param_shapes is None:
+        return d * d * itemsize
+    total = 0
+    for shp in param_shapes:
+        n = 1
+        for s in shp:
+            n *= max(int(s), 1)
+        total += max(n, 8 * 128) * itemsize
+    return total
+
+
 def fused_supported(b: int, d: int, itemsize: int = 4,
                     param_shapes=None) -> bool:
     """Gate: shapes the single-program kernel handles well.
@@ -81,20 +97,11 @@ def fused_supported(b: int, d: int, itemsize: int = 4,
         return False
     if b < 4 or b % 4 != 0:
         return False
-    if param_shapes is None:
-        param_bytes = d * d * itemsize
-    else:
-        param_bytes = 0
-        for shp in param_shapes:
-            n = 1
-            for s in shp:
-                n *= max(int(s), 1)
-            # Mosaic pads the trailing two dims to the (8, 128) tile.
-            param_bytes += max(n, 8 * 128) * itemsize
     # 6x D^2: f in/out + the multi-step fori_loop's carry double-buffering;
     # + the score params at their real sizes.
     vmem = 6 * d * d * itemsize + 16 * b * d * itemsize \
-        + 8 * (2 * b) * (2 * b) * itemsize + 2 * param_bytes
+        + 8 * (2 * b) * (2 * b) * itemsize \
+        + 2 * _param_bytes(param_shapes, d, itemsize)
     return vmem < _VMEM_LIMIT_BYTES
 
 

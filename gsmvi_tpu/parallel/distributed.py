@@ -36,10 +36,14 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
     already = getattr(jax.distributed, "is_initialized", None)
     if callable(already) and already():
         return jax.process_count() > 1
-    if not (auto or coordinator_address or num_processes):
-        return False
+    # Explicitness is judged by "is not None", NOT truthiness: a launcher
+    # passing coordinator_address="" (missing env var) or only process_id=0
+    # has explicitly asked for distributed setup and must reach initialize
+    # (and raise on its failure) rather than silently fall back.
     explicit = (coordinator_address is not None
                 or num_processes is not None or process_id is not None)
+    if not (auto or explicit):
+        return False
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,

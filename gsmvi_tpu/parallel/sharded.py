@@ -136,3 +136,35 @@ def sharded_score_eval(mesh: Mesh, lp_g, samples, axis: str = "data"):
         return lp_g(samples_local)
 
     return go(samples)
+
+
+def make_gathered_update(mesh: Mesh, axis: str, lp_g, update_fn,
+                         n_extra: int = 0, n_out: int = 3):
+    """shard_map wrapper composing a data-sharded score eval with a
+    REPLICATED whole-batch update (the fused-Pallas-under-mesh pattern,
+    shared by FactorGSM and FactorBaM).
+
+    ``update_fn(eps_full, vs_full, mean, f, *extras)`` receives the
+    all_gathered (B, D) rows in f32 and must return ``n_out`` replicated
+    outputs (mean-row, factor, flags...).  ``n_extra`` replicated scalar
+    extras (e.g. the BaM regularizer) follow (eps, mean, f) positionally.
+    Only the O(B*D) row tensors cross chips (one all_gather each); every
+    device computes the identical update, so outputs are replicated by
+    construction (check_vma off: the varying-ness tracker cannot see
+    through a pallas_call).
+    """
+    in_specs = (P(axis, None), P(), P(None, None)) + (P(),) * n_extra
+    out_specs = (P(), P(None, None)) + (P(),) * max(n_out - 2, 0)
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=in_specs,
+             out_specs=out_specs, check_vma=False)
+    def gathered(eps_local, mean, f, *extras):
+        with jax.default_matmul_precision("float32"):
+            vs_local = lp_g(mean + eps_local @ f.T)
+            eps_full = jax.lax.all_gather(eps_local, axis, axis=0,
+                                          tiled=True)
+            vs_full = jax.lax.all_gather(
+                vs_local.astype(jnp.float32), axis, axis=0, tiled=True)
+            return update_fn(eps_full, vs_full, mean, f, *extras)
+
+    return gathered

@@ -109,7 +109,10 @@ def test_explicit_misconfiguration_raises():
         jax.config.update("jax_platforms", "cpu")
         from gsmvi_tpu.parallel.distributed import initialize_distributed
         try:
-            initialize_distributed(num_processes=2, process_id=0)
+            # Falsy-but-explicit: coordinator_address="" (missing env var)
+            # must reach initialize and raise, not silently fall back.
+            initialize_distributed(coordinator_address="", num_processes=2,
+                                   process_id=0)
         except Exception:
             print("RAISED", flush=True)
         else:

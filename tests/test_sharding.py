@@ -304,3 +304,20 @@ def test_mesh_composed_fused_bam_update_matches_unsharded(mesh, target,
         np.asarray(s_un.factor @ s_un.factor.T), rtol=5e-4, atol=5e-4)
     np.testing.assert_allclose(np.asarray(s_sh.mean), np.asarray(t.mean),
                                atol=0.25)
+
+
+def test_mesh_fused_gate_odd_device_count(eight_devices, monkeypatch):
+    """Odd mesh sizes (batch=2*n fails the kernel's b%4 gate) must fall
+    back to the XLA mesh path, not assert/crash (code-review finding)."""
+    import gsmvi_tpu.gsm_factor as gf_mod
+    from gsmvi_tpu import FactorGSM
+    from gsmvi_tpu.parallel import make_mesh
+
+    monkeypatch.setattr(gf_mod, "on_tpu", lambda: True)
+    t = dense_gaussian(jax.random.PRNGKey(21), 12)
+    m3 = make_mesh(3)
+    g = FactorGSM(D=t.d, lp=t.lp, lp_g=t.lp_g, mesh=m3, dtype=jnp.float32)
+    assert g._pallas_mode(6) is None
+    mean, _ = g.fit(jax.random.PRNGKey(0), niter=20, batch_size=6,
+                    verbose=False)
+    assert np.isfinite(np.asarray(mean)).all()
