@@ -45,10 +45,11 @@ from .driver import RunnerCache, is_traceable, make_chunk_runner, \
 from .gsm_factor import FactorVIState
 from .ops.bam_eps import bam_eps_update
 from .ops.gsm_factor import factor_to_cov
-from .ops.pallas.bam_fused import (BAM_NS_ITERS_DEFAULT, GU_GATE_DEFAULT,
-                                   LMAX_GATE_DEFAULT, bam_eps_update_fused,
-                                   bam_fused_supported,
-                                   make_fused_bam_multistep)
+from .ops.pallas.bam_fused import (BAM_NS_ITERS_DEFAULT, BAM_NS_TIERS,
+                                   GU_GATE_DEFAULT, LMAX_GATE_DEFAULT,
+                                   bam_eps_update_fused, bam_fused_supported,
+                                   make_fused_bam_multistep,
+                                   ns_tier_thresholds)
 from .parallel.mesh import data_sharding
 
 
@@ -60,7 +61,7 @@ class FactorBaM:
                  use_pallas: "bool | str" = "auto", pallas_score=None,
                  steps_per_call=None, lmax_gate: float = LMAX_GATE_DEFAULT,
                  gu_gate: float = GU_GATE_DEFAULT,
-                 ns_iters=BAM_NS_ITERS_DEFAULT):
+                 ns_iters=BAM_NS_ITERS_DEFAULT, ns_profile: str = "auto"):
         """``use_pallas`` ("auto"/True/False) fuses the BaM step into Pallas
         kernels on TPU (ops/pallas/bam_fused.py): with ``pallas_score`` (a
         ``(score_fn, params)`` pair, e.g. ``target.pallas_score``) the whole
@@ -75,7 +76,18 @@ class FactorBaM:
         reg >~ gu_gate/26 every step replays; lower it for accuracy, raise
         it only with a measured map-error study (bam_fused.py).  Trajectories on the
         fused path draw eps per absolute step index (``fold_in(key, step)``)
-        and are invariant to ``steps_per_call`` and chunk cadence."""
+        and are invariant to ``steps_per_call`` and chunk cadence.
+
+        ``ns_profile``: "auto" (default) runs the reg-adaptive NS LADDER
+        (bam_fused.BAM_NS_TIERS): as the schedule decays below each tier's
+        predicted-stiffness threshold, steps move to progressively shorter
+        (cheaper) Newton-Schulz chains whose own in-kernel gates certify
+        them — tier selection is a pure function of the step's reg (and
+        kernel blocks truncate at tier boundaries), so the trajectory-
+        invariance contract above is preserved, and a mis-predicted tier
+        can only trigger an SVD replay, never a biased accept.  "long" pins
+        every fused step to the single (ns_iters, lmax_gate, gu_gate)
+        profile (the pre-ladder behavior)."""
         self.D = D
         self.lp = lp
         self.lp_g = lp_g
@@ -95,6 +107,9 @@ class FactorBaM:
         self.lmax_gate = float(lmax_gate)
         self.gu_gate = float(gu_gate)
         self.ns_iters = tuple(ns_iters)
+        if ns_profile not in ("auto", "long"):
+            raise ValueError("ns_profile must be 'auto' or 'long'")
+        self.ns_profile = ns_profile
         # Tests drive the fused path on CPU via pallas interpret mode
         # (plus monkeypatched on_tpu); not part of the public surface.
         self._interpret = False
@@ -130,6 +145,53 @@ class FactorBaM:
             return "step" if self.pallas_score is not None else "update"
         return None
 
+    def _ns_tiers(self, batch_size: int):
+        """The reg-adaptive NS ladder for this config: ``(tiers,
+        thresholds)`` with tiers = ((iters, gu_gate, lmax_gate), ...) from
+        stiffest (the configured long profile) to most benign, and
+        thresholds the descending reg values at which tiers 1.. engage
+        (bam_fused.ns_tier_thresholds).  Built-in benign tiers are pruned
+        to those whose gates sit BELOW the configured ones, so tightening
+        ``gu_gate``/``lmax_gate`` tightens the whole ladder."""
+        tier0 = (self.ns_iters, self.gu_gate, self.lmax_gate)
+        if self.ns_profile == "long":
+            return (tier0,), ()
+        lower = tuple(t for t in BAM_NS_TIERS[1:]
+                      if t[1] <= self.gu_gate and t[2] <= self.lmax_gate)
+        thresholds = ns_tier_thresholds(batch_size, self.D,
+                                        tiers=(tier0, *lower))
+        return (tier0, *lower), thresholds
+
+    def _make_tiered_update(self, batch_size: int):
+        """A drop-in for ``bam_eps_update_fused`` that lax.switches among
+        the ladder's single-step kernels by the step's (traced) reg.  The
+        selected tier's own in-kernel gates still decide ``stiff``."""
+        tiers, thresholds = self._ns_tiers(batch_size)
+        interp = self._interpret
+
+        def tier_index(reg):
+            t = jnp.zeros((), jnp.int32)
+            for th in thresholds:
+                t = t + (reg < th).astype(jnp.int32)
+            return t
+
+        def update(eps, vs, mean, f, reg):
+            if len(tiers) == 1:
+                it, gg, lm = tiers[0]
+                return bam_eps_update_fused(eps, vs, mean, f, reg,
+                                            iters=it, lmax_gate=lm,
+                                            gu_gate=gg, interpret=interp)
+            branches = [
+                (lambda e, v, m, ff, r, it=it, gg=gg, lm=lm:
+                 bam_eps_update_fused(e, v, m, ff, r, iters=it,
+                                      lmax_gate=lm, gu_gate=gg,
+                                      interpret=interp))
+                for (it, gg, lm) in tiers]
+            return jax.lax.switch(tier_index(reg), branches,
+                                  eps, vs, mean, f, reg)
+
+        return update
+
     def _make_step(self, batch_size: int, regf, retries: int,
                    allow_pallas: bool = True):
         lp_g = self.lp_g
@@ -163,15 +225,11 @@ class FactorBaM:
             # cond (the shared FactorGSM pattern, parallel/sharded.py).
             from .parallel.sharded import make_gathered_update
 
-            lmax_gate = self.lmax_gate
-            gu_gate = self.gu_gate
-            ns_iters = self.ns_iters
-            interp = self._interpret
+            tiered_update = self._make_tiered_update(batch_size)
 
             def fused_then_replay(eps_full, vs_full, mean, f, reg):
-                mu_p, f_p, good, stiff = bam_eps_update_fused(
-                    eps_full, vs_full, mean, f, reg, iters=ns_iters,
-                    lmax_gate=lmax_gate, gu_gate=gu_gate, interpret=interp)
+                mu_p, f_p, good, stiff = tiered_update(
+                    eps_full, vs_full, mean, f, reg)
 
                 def svd_branch(_):
                     mu_s, f_s, good_s = bam_eps_update(
@@ -196,9 +254,7 @@ class FactorBaM:
 
             first_attempt = fused_attempt
         elif mode == "update":
-            lmax_gate = self.lmax_gate
-            gu_gate = self.gu_gate
-            ns_iters = self.ns_iters
+            tiered_update = self._make_tiered_update(batch_size)
 
             def fused_attempt(key, state):
                 """Fused-kernel attempt; stiff steps recompute through the
@@ -214,10 +270,8 @@ class FactorBaM:
                     # (user lp_g may emit f64 under global x64).
                     vs = lp_g(samples).astype(jnp.float32)
                     reg = jnp.asarray(regf(state.step), dtype)
-                    mu_p, f_p, good, stiff = bam_eps_update_fused(
-                        eps, vs, state.mean, state.factor, reg,
-                        iters=ns_iters, lmax_gate=lmax_gate,
-                        gu_gate=gu_gate, interpret=self._interpret)
+                    mu_p, f_p, good, stiff = tiered_update(
+                        eps, vs, state.mean, state.factor, reg)
 
                     def svd_branch(_):
                         mu_s, f_s, good_s = bam_eps_update(
@@ -279,11 +333,32 @@ class FactorBaM:
         d = self.D
         lp_g = self.lp_g
         solver = self.solver
-        multi = make_fused_bam_multistep(
-            score_fn, len(params), batch_size, d, spc, iters=self.ns_iters,
-            lmax_gate=self.lmax_gate, gu_gate=self.gu_gate,
+        tiers, thresholds = self._ns_tiers(batch_size)
+        multis = [make_fused_bam_multistep(
+            score_fn, len(params), batch_size, d, spc, iters=it,
+            lmax_gate=lm, gu_gate=gg,
             interpret=interpret or self._interpret)
+            for (it, gg, lm) in tiers]
         stop_on_reject = 1 if retries > 0 else 0
+
+        def run_multi_block(regs, nmax, eps_block, mean, f):
+            """Run one kernel block on the reg-selected NS tier; the block
+            additionally truncates at the next tier boundary so every
+            absolute step runs the tier of ITS OWN reg — which keeps the
+            trajectory invariant to spc/chunk grouping."""
+            if len(multis) == 1:
+                return multis[0](regs, nmax, stop_on_reject, eps_block,
+                                 mean, f, *params)
+            tj = jnp.zeros(regs.shape, jnp.int32)
+            for th in thresholds:
+                tj = tj + (regs < th).astype(jnp.int32)
+            run_len = jnp.sum(jnp.cumprod((tj == tj[0]).astype(jnp.int32)))
+            nmax = jnp.minimum(nmax, run_len.astype(jnp.int32))
+            branches = [(lambda r, n, e, m, ff, mu=mu: mu(
+                r, n, stop_on_reject, e, m, ff, *params))
+                for mu in multis]
+            return jax.lax.switch(tj[0], branches, regs, nmax, eps_block,
+                                  mean, f)
 
         @partial(jax.jit, static_argnums=1)
         def run_chunk(state, k):
@@ -301,9 +376,8 @@ class FactorBaM:
                 eps_block = jax.vmap(eps_for)(steps)
                 nmax = jnp.minimum(jnp.int32(spc),
                                    jnp.int32(k) - (state.step - step0))
-                mu, f, n_done, n_acc, stopped = multi(
-                    regs, nmax, stop_on_reject, eps_block,
-                    state.mean, state.factor, *params)
+                mu, f, n_done, n_acc, stopped = run_multi_block(
+                    regs, nmax, eps_block, state.mean, state.factor)
                 state = FactorVIState(
                     mu, f, state.finv, key, state.step + n_done,
                     state.n_accepted + n_acc,
@@ -391,7 +465,8 @@ class FactorBaM:
             score_objs = (self.pallas_score[0], *self.pallas_score[1])
         run_chunk = self._runners.get(
             (batch_size, retries, mode, self.steps_per_call, self.solver,
-             self.lmax_gate, self.gu_gate, self.ns_iters, self._interpret),
+             self.lmax_gate, self.gu_gate, self.ns_iters, self.ns_profile,
+             self._interpret),
             (regf, *score_objs),
             lambda: (self._make_fused_runner(batch_size, regf, retries)
                      if mode == "step" else

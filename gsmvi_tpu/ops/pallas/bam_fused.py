@@ -89,6 +89,47 @@ LMAX_GATE_DEFAULT = 1e4
 # are flagged stiff and replayed on the XLA path.
 GU_GATE_DEFAULT = 5e4
 
+# ---- reg-adaptive NS ladder -------------------------------------------------
+# The sweep counts above are sized for the WORST gated conditioning, but the
+# chains' conditioning is reg-scaled (gu ~ reg * c(B, D)) and BaM schedules
+# decay — at steady state (gu ~ 1, lmax ~ a few) the long chains are pure
+# sweep waste (each _ns_sqrt sweep = 3 small matmuls, _newton_inv = 2; the
+# default profile spends 179 small matmuls per step, the most benign tier
+# needs 59).  The ladder below lists (iters, gu_gate, lmax_gate) from
+# stiffest to most benign; every tier's gates were set by a map-error fuzz
+# vs the SVD path with INDEPENDENT (reg, score-scale, factor-conditioning)
+# variation across (B, D) in (8, 32)..(32, 1024) — worst accepted
+# in-envelope error 2.8e-4 / 2.5e-4 / 1.4e-4 for tiers 1/2/3 (2026-08-18
+# study; the real centered Om construction, per the round-2 lesson).  Steps
+# exceeding a tier's in-kernel gates flag stiff and replay through the XLA
+# SVD path, so TIER SELECTION IS THROUGHPUT-ONLY — a mis-predicted tier can
+# never bias the fit.
+BAM_NS_TIERS = (
+    (BAM_NS_ITERS_DEFAULT, GU_GATE_DEFAULT, 1e4),
+    ((10, 7, 10, 7, 4), 64.0, 1500.0),
+    ((7, 5, 8, 5, 4), 14.0, 120.0),
+    ((5, 4, 6, 4, 3), 3.0, 12.0),
+)
+
+
+def predicted_gu_coeff(b: int, d: int) -> float:
+    """gu_ub ~ coeff * reg for standard-normal draws: the row-sum norm of
+    the (reg/B)-scaled centered-eps Gram concentrates at
+    ~ (D + B sqrt(D)) / B * reg (measured 26*reg at B=32, D=256 vs 24
+    predicted).  Used only to PREDICT the benign tier; the in-kernel gates
+    remain the accuracy authority."""
+    return (d + b * float(d) ** 0.5) / b
+
+
+def ns_tier_thresholds(b: int, d: int, tiers=BAM_NS_TIERS,
+                       margin: float = 0.8):
+    """reg thresholds (descending) at which tiers 1.. engage: tier j is
+    predicted non-stiff when reg < margin * gu_gate_j / c(B, D).  The 0.8
+    margin absorbs draw-to-draw gu fluctuation so in-kernel gate trips (and
+    their SVD replays) stay rare at tier boundaries."""
+    c = predicted_gu_coeff(b, d)
+    return tuple(margin * gu / c for (_, gu, _) in tiers[1:])
+
 
 def _ns_sqrt_both(a, iters: int):
     """Coupled Newton-Schulz: returns (sqrt(a), a^{-1/2}) for small SPD

@@ -8,8 +8,9 @@ import pytest
 
 from gsmvi_tpu.ops.bam_eps import bam_eps_update
 from gsmvi_tpu.ops.pallas.bam_fused import (
-    BAM_NS_ITERS_DEFAULT, LMAX_GATE_DEFAULT, _bam_smallspace_ns,
-    bam_eps_update_fused, bam_fused_supported, make_fused_bam_multistep)
+    BAM_NS_ITERS_DEFAULT, BAM_NS_TIERS, LMAX_GATE_DEFAULT,
+    _bam_smallspace_ns, bam_eps_update_fused, bam_fused_supported,
+    make_fused_bam_multistep, ns_tier_thresholds, predicted_gu_coeff)
 
 
 def _benign_inputs(rng, b, d, score_scale=1.0):
@@ -373,6 +374,83 @@ def test_fuzz_grid_ns_map_vs_svd(rng):
                               - np.asarray(m_x)).max() / msc < 1e-3
                 checked += 1
     assert checked >= 10  # the gates must not eat the whole grid
+
+
+@pytest.mark.parametrize("tier", [1, 2, 3])
+def test_ns_ladder_tier_accuracy_inside_envelope(rng, tier):
+    """Every benign ladder tier must track the SVD path to <= 1e-3 inside
+    its OWN gate envelope, with (reg, score scale, factor conditioning)
+    varied independently — the gates, not the tier prediction, are the
+    accuracy authority.  (Slimmed from the 2026-08-18 offline study:
+    worst in-envelope errors 2.8e-4 / 2.5e-4 / 1.4e-4 for tiers 1/2/3.)"""
+    iters, gu_gate, lmax_gate = BAM_NS_TIERS[tier]
+    b, d = 16, 48
+    checked = 0
+    for reg in (0.005, 0.02, 0.1, 0.5, 2.0, 8.0):
+        for ss in (0.02, 0.05, 0.5, 3.0):
+            e = rng.normal(size=(b, d)).astype(np.float32)
+            f = (np.eye(d)
+                 + 0.3 * rng.normal(size=(d, d)) / np.sqrt(d)
+                 ).astype(np.float32)
+            mu = rng.normal(size=d).astype(np.float32)
+            x = mu + e @ f.T
+            v = (-ss * x + 0.3 * ss * rng.normal(size=(b, d))
+                 ).astype(np.float32)
+            args = (jnp.asarray(e), jnp.asarray(v), jnp.asarray(mu),
+                    jnp.asarray(f))
+            m_n, f_n, good, stiff = _bam_smallspace_ns(
+                args[0], args[1], args[2].reshape(1, d), args[3], reg,
+                batch=b, iters=iters, lmax_gate=lmax_gate, gu_gate=gu_gate)
+            if bool(stiff) or not bool(good):
+                continue
+            m_x, f_x, _ = bam_eps_update(*args, reg, solver="svd")
+            s_x = np.asarray(f_x @ f_x.T)
+            s_n = np.asarray(f_n @ f_n.T)
+            sc = max(1.0, float(np.abs(s_x).max()))
+            msc = max(1.0, float(np.abs(np.asarray(m_x)).max()))
+            assert np.abs(s_n - s_x).max() / sc < 1e-3, (reg, ss)
+            assert np.abs(np.asarray(m_n[0])
+                          - np.asarray(m_x)).max() / msc < 1e-3, (reg, ss)
+            checked += 1
+    assert checked >= 5
+
+
+def test_ns_tier_thresholds_descend_and_scale():
+    """Thresholds must be descending (tier_of = count of thresholds above
+    reg indexes the tier list) and shrink with D/B stiffness growth."""
+    th = ns_tier_thresholds(32, 256)
+    assert len(th) == len(BAM_NS_TIERS) - 1
+    assert all(a > b for a, b in zip(th, th[1:]))
+    assert all(t > 0 for t in th)
+    # Larger D at same B -> larger predicted gu per unit reg -> lower
+    # thresholds (tiers engage later in the schedule).
+    th_big = ns_tier_thresholds(32, 1024)
+    assert all(a > b for a, b in zip(th, th_big))
+    # The coefficient itself matches the measured ~26 at (32, 256) to ~20%.
+    assert 20.0 < predicted_gu_coeff(32, 256) < 32.0
+
+
+def test_ladder_and_long_profiles_reach_same_moments(rng, monkeypatch):
+    """ns_profile="auto" (ladder) and "long" must converge to the same
+    moments on the same key — tier switching changes per-step numerics by
+    <= the certified map error, never the fit."""
+    from gsmvi_tpu import Regularizers
+    from gsmvi_tpu.models import dense_gaussian
+
+    d = 8
+    t = dense_gaussian(jax.random.PRNGKey(7), d, scale=0.3)
+    outs = {}
+    for profile in ("auto", "long"):
+        g = _fused_factorbam(t, d, monkeypatch, steps_per_call=4,
+                             ns_profile=profile)
+        st = g.fit(jax.random.PRNGKey(0), regf=Regularizers().linear(20.0),
+                   niter=400, batch_size=8, verbose=False, retries=0,
+                   return_state=True)
+        assert int(st.step) == 401
+        outs[profile] = (np.asarray(st.mean),
+                         np.asarray(st.factor @ st.factor.T))
+    np.testing.assert_allclose(outs["auto"][0], outs["long"][0], atol=5e-3)
+    np.testing.assert_allclose(outs["auto"][1], outs["long"][1], atol=1e-2)
 
 
 def test_fused_trajectory_invariant_to_spc_and_monitor_cadence(rng,
