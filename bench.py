@@ -202,7 +202,7 @@ def bench_matrix(targets):
             }
             if flagged:
                 cell["contended"] = True
-            if name == "advi":
+            if name.startswith("advi"):
                 # ELBO/Adam convergence on these stiff targets is method-
                 # limited (the covariance scale must grow ~30x through
                 # MC-noisy per-entry steps); a 30k-iter CPU run still sits
@@ -247,6 +247,12 @@ def bench_matrix(targets):
                                niter=n, batch_size=B, verbose=False,
                                return_losses=False)[:2]
 
+    def advi_fused_run(t):
+        g = ADVI(D=t.d, lp=t.lp, pallas_score=t.pallas_score)
+        return lambda n: g.fit_fused(jax.random.PRNGKey(0),
+                                     learning_rate=1e-2, niter=n,
+                                     batch_size=B, verbose=False)[:2]
+
     ds = [64, 256] if SMOKE else [64, 256, 1024]
     for d in ds:
         add("gsm", d, lambda t: gsm_run(t, use_pallas=False))
@@ -259,6 +265,7 @@ def bench_matrix(targets):
         add("bam_fused", d,
             lambda t: fbam_run(t, pallas_score=t.pallas_score))
         add("advi", d, lambda t: advi_run(t))
+        add("advi_fused", d, lambda t: advi_fused_run(t))
     if not SMOKE:
         add("gsm", 512, lambda t: gsm_run(t, use_pallas=False))
         add("gsm_fused", 512,

@@ -27,7 +27,9 @@ import numpy as np
 import optax
 
 from .distributions import mvn_logpdf
-from .driver import RunnerCache, make_chunk_runner, run_fit_loop
+from .driver import RunnerCache, make_chunk_runner, on_tpu, run_fit_loop
+from .ops.pallas.advi_fused import advi_fused_supported, \
+    make_fused_advi_multistep
 from .parallel.mesh import data_sharding
 from .state import VIState  # noqa: F401  (monitor protocol shares shapes)
 
@@ -41,6 +43,20 @@ class ADVIState(NamedTuple):
     loss: jax.Array      # most recent loss value
 
 
+class FusedADVIState(NamedTuple):
+    """State of the fused-Pallas ADVI path: tril factor + explicit Adam
+    moments (the in-kernel optimizer is hard-wired adam, so the opaque
+    optax ``opt_state`` unrolls into its four moment tensors)."""
+    loc: jax.Array       # (D,)
+    l: jax.Array         # (D, D) lower-triangular factor (masked-dense)
+    mloc: jax.Array      # (D,)   Adam first moment of loc
+    vloc: jax.Array      # (D,)   Adam second moment of loc
+    ml: jax.Array        # (D, D) Adam first moment of L
+    vl: jax.Array        # (D, D) Adam second moment of L
+    key: jax.Array       # constant seed base; eps = fold_in(key, step)
+    step: jax.Array
+
+
 class ADVI:
     """Fit a dense-covariance Gaussian by maximizing the ELBO with optax.
 
@@ -48,13 +64,25 @@ class ADVI:
     (its gradient is taken by autodiff, as in the reference).
     """
 
-    def __init__(self, D, lp, mesh=None, data_axis: str = "data", dtype=None):
+    def __init__(self, D, lp, mesh=None, data_axis: str = "data", dtype=None,
+                 pallas_score=None, steps_per_call=None):
+        """``pallas_score``: optional ``(score_fn, params)`` pair (e.g.
+        ``target.pallas_score``) enabling :meth:`fit_fused` — the whole ADVI
+        iteration (sampling, score, analytic ELBO gradient, Adam) fused into
+        one Pallas TPU kernel looping ``steps_per_call`` steps in VMEM
+        (ops/pallas/advi_fused.py).  :meth:`fit` is unaffected."""
         self.D = D
         self.lp = lp
         self.mesh = mesh
         self.data_axis = data_axis
         self.dtype = dtype or jnp.zeros(0).dtype
         self.idx_tril = jnp.tril_indices(D)
+        self.pallas_score = pallas_score
+        self.steps_per_call = (steps_per_call if steps_per_call is not None
+                               else (16 if D <= 128 else 8))
+        # Tests drive the fused path on CPU via pallas interpret mode
+        # (plus monkeypatched on_tpu); not part of the public surface.
+        self._interpret = False
         self._runners = RunnerCache()
 
     # -- parameterization ---------------------------------------------------
@@ -194,6 +222,139 @@ class ADVI:
         if return_state:
             return state, losses
         return state.loc, self.scales_to_cov(state.scales), losses
+
+    # -- fused-Pallas path ----------------------------------------------------
+    def _fused_supported(self, batch_size: int) -> bool:
+        if self.pallas_score is None or self.mesh is not None:
+            return False
+        if not (on_tpu() or self._interpret):
+            return False
+        shapes = [jnp.shape(p) for p in self.pallas_score[1]]
+        return advi_fused_supported(batch_size, self.D, self.steps_per_call,
+                                    param_shapes=shapes)
+
+    def _make_fused_runner(self, batch_size: int, learning_rate, b1: float,
+                           b2: float, eps_adam: float):
+        """Chunk runner on the fused whole-step kernel.
+
+        Per while-iteration: compute the next ``steps_per_call`` absolute
+        step indices, their learning rates (any host schedule — evaluated
+        as a traced function of the step) and Adam bias corrections, draw
+        the eps block per absolute step (``fold_in(key, step)`` — the
+        trajectory is invariant to spc/chunk cadence and exactly
+        reproducible at the XLA level), and run the kernel."""
+        score_fn, params = self.pallas_score
+        spc = self.steps_per_call
+        d = self.D
+        multi = make_fused_advi_multistep(
+            score_fn, len(params), batch_size, d, spc, b1=b1, b2=b2,
+            eps_adam=eps_adam, interpret=self._interpret)
+        if callable(learning_rate):
+            lr_fn = learning_rate
+        else:
+            lr_const = float(learning_rate)
+            lr_fn = lambda s: lr_const
+        b1f, b2f = jnp.float32(b1), jnp.float32(b2)
+
+        from functools import partial
+
+        @partial(jax.jit, static_argnums=1)
+        def run_chunk(state, k):
+            key = state.key
+            step0 = state.step
+
+            def body(state):
+                steps = state.step + jnp.arange(spc, dtype=jnp.int32)
+                t = (steps + 1).astype(jnp.float32)
+                lrs = jax.vmap(
+                    lambda s: jnp.asarray(lr_fn(s), jnp.float32))(steps)
+                bc1s = 1.0 / (1.0 - jnp.power(b1f, t))
+                bc2s = 1.0 / (1.0 - jnp.power(b2f, t))
+                eps_block = jax.vmap(
+                    lambda s: jax.random.normal(jax.random.fold_in(key, s),
+                                                (batch_size, d),
+                                                jnp.float32))(steps)
+                nmax = jnp.minimum(jnp.int32(spc),
+                                   jnp.int32(k) - (state.step - step0))
+                loc, l, mloc, vloc, ml, vl = multi(
+                    lrs, bc1s, bc2s, nmax, eps_block, state.loc, state.l,
+                    state.mloc, state.vloc, state.ml, state.vl, *params)
+                return FusedADVIState(loc, l, mloc, vloc, ml, vl, key,
+                                      state.step + nmax)
+
+            return jax.lax.while_loop(
+                lambda s: s.step - step0 < k, body, state)
+
+        return run_chunk
+
+    def fit_fused(self, key, learning_rate=1e-2, b1=0.9, b2=0.999,
+                  eps=1e-8, mean=None, cov=None, batch_size=8, niter=1000,
+                  nprint=10, verbose=True, monitor=None, return_state=False,
+                  state=None):
+        """ADVI fit on the fused whole-step Pallas kernel (TPU serving path).
+
+        The optimizer is in-kernel Adam with exact ``optax.adam`` semantics;
+        ``learning_rate`` may be a float or a schedule ``step -> lr``
+        (anything jax-traceable — optax schedules qualify).  Requires
+        ``pallas_score`` and a TPU; anywhere the fused kernel is
+        unavailable (no TPU, VMEM gate at large D, ``mesh=``) this method
+        FALLS BACK to :meth:`fit` with ``optax.adam`` — same estimator and
+        optimizer, different eps stream, so trajectories match the fused
+        path in distribution, not bitwise.
+
+        Returns ``(mean, cov, losses=None)`` (loss traces are not computed
+        in-kernel; fit with ``return_losses=True`` or a ``monitor`` covers
+        diagnostics), or ``(state, None)`` with ``return_state``.
+        """
+        if not self._fused_supported(batch_size):
+            return self.fit(key, optax.adam(learning_rate, b1=b1, b2=b2,
+                                            eps=eps),
+                            mean=mean, cov=cov, batch_size=batch_size,
+                            niter=niter, nprint=nprint, verbose=verbose,
+                            monitor=monitor, return_state=return_state,
+                            return_losses=False)
+        f32 = jnp.float32
+        d = self.D
+        if state is None:
+            def build_init():
+                @jax.jit
+                def init_state(mean, cov, key):
+                    l0 = jnp.tril(jnp.linalg.cholesky(
+                        jnp.asarray(cov, f32)))
+                    z_row = jnp.zeros(d, f32)
+                    z_mat = jnp.zeros((d, d), f32)
+                    return FusedADVIState(
+                        jnp.asarray(mean, f32), l0, z_row, z_row, z_mat,
+                        z_mat, key, jnp.zeros((), jnp.int32))
+
+                return init_state
+
+            init_state = self._runners.get(("fused_init",), (), build_init)
+            state = init_state(
+                jnp.zeros(d, f32) if mean is None else mean,
+                jnp.eye(d, dtype=f32) if cov is None else cov, key)
+
+        lr_objs = (learning_rate,) if callable(learning_rate) else ()
+        run_chunk = self._runners.get(
+            ("fused", batch_size, self.steps_per_call, b1, b2, eps,
+             None if callable(learning_rate) else float(learning_rate),
+             self._interpret),
+            (self.pallas_score[0], *self.pallas_score[1], *lr_objs),
+            lambda: self._make_fused_runner(batch_size, learning_rate,
+                                            b1, b2, eps))
+        state = run_fit_loop(
+            None, state, niter,
+            monitor=monitor,
+            monitor_params=lambda s: [s.loc, self.scales_to_cov(s.l)],
+            lp=self.lp,
+            nprint=nprint,
+            verbose=verbose,
+            batch_size=batch_size,
+            run_chunk=run_chunk,
+        )
+        if return_state:
+            return state, None
+        return state.loc, self.scales_to_cov(state.l), None
 
     def fit_batch(self, keys, opt, mean=None, cov=None, batch_size=8,
                   niter=1000):
