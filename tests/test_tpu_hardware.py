@@ -196,6 +196,57 @@ def test_bam_fused_update_matches_xla_svd_on_tpu(rng32):
     np.testing.assert_allclose(s_p, s_x, atol=1e-5 * scale)
 
 
+def test_advi_fused_kernel_matches_interpret_on_tpu(rng32):
+    """The Mosaic-compiled fused ADVI multistep kernel agrees with the
+    interpret-mode run (the CPU-CI oracle — itself pinned against an
+    autodiff+optax oracle in test_advi_fused.py) on identical inputs:
+    the eps block is external, so the two runs differ only by Mosaic vs
+    XLA matmul scheduling.  Tolerance 1e-4 (not 1e-5): Adam's
+    1/(sqrt(v)+eps) step amplifies product-rounding differences on
+    early low-second-moment entries (measured max 5.3e-5 over 8 steps
+    on state of magnitude ~40, i.e. ~1e-6 relative)."""
+    from gsmvi_tpu.models import dense_gaussian
+    from gsmvi_tpu.ops.pallas.advi_fused import make_fused_advi_multistep
+
+    b, d, spc = 32, 256, 8
+    t = dense_gaussian(jax.random.PRNGKey(3), d)
+    score_fn, sparams = t.pallas_score
+    loc0 = jnp.asarray(rng32.normal(size=d), jnp.float32)
+    l0 = jnp.tril(jnp.eye(d, dtype=jnp.float32) + 0.05 * jnp.asarray(
+        rng32.normal(size=(d, d)), jnp.float32))
+    eps = jnp.asarray(rng32.normal(size=(spc * b, d)), jnp.float32)
+    lrs = jnp.full((spc,), 1e-2, jnp.float32)
+    t_idx = jnp.arange(1, spc + 1, dtype=jnp.float32)
+    bc1s = 1.0 / (1.0 - 0.9 ** t_idx)
+    bc2s = 1.0 / (1.0 - 0.999 ** t_idx)
+    z = jnp.zeros(d, jnp.float32)
+    zm = jnp.zeros((d, d), jnp.float32)
+    args = (lrs, bc1s, bc2s, spc, eps, loc0, l0, z, z, zm, zm, *sparams)
+    hw = make_fused_advi_multistep(score_fn, len(sparams), b, d, spc)(*args)
+    it = make_fused_advi_multistep(score_fn, len(sparams), b, d, spc,
+                                   interpret=True)(*args)
+    for a_hw, a_it in zip(hw, it):
+        np.testing.assert_allclose(np.asarray(a_hw), np.asarray(a_it),
+                                   atol=1e-4, rtol=1e-5)
+
+
+def test_advi_fused_fit_converges_on_tpu():
+    """End-to-end fit_fused on hardware recovers a benign target's moments
+    (the real Mosaic kernel, multistep loop, fold_in eps stream)."""
+    from gsmvi_tpu import ADVI
+    from gsmvi_tpu.models import dense_gaussian
+
+    d = 64
+    t = dense_gaussian(jax.random.PRNGKey(7), d, scale=0.3)
+    g = ADVI(D=d, lp=t.lp, pallas_score=t.pallas_score)
+    assert g._fused_supported(32)
+    mean, cov, _ = g.fit_fused(jax.random.PRNGKey(0), learning_rate=3e-2,
+                               niter=6000, batch_size=32, verbose=False)
+    scale = max(1.0, float(np.abs(np.asarray(t.cov)).max()))
+    assert np.abs(np.asarray(mean) - np.asarray(t.mean)).max() < 0.1 * scale
+    assert np.abs(np.asarray(cov) - np.asarray(t.cov)).max() < 0.15 * scale
+
+
 def test_bam_fused_whole_step_fit_converges_on_tpu():
     """Fused multistep BaM (with stiff replay) recovers the bench target's
     moments at D=256 — the stiff early phase must not bias the fit."""
