@@ -49,6 +49,10 @@ NITER_BAM = {64: 16000, 256: 8000, 512: 2000, 1024: 3000}
 # differential window is >~1 s of compute (cells with shorter windows
 # read 2-3x low/high run-to-run from tunnel jitter).
 NITER_ADVI = {64: 60000, 256: 40000, 512: 4000, 1024: 8000}
+# The fused ADVI kernel runs ~1M/434k/42k it/s at 64/256/1024 (measured
+# round 3): it needs million-scale budgets for a >=1 s window.
+NITER_ADVI_FUSED = {64: 4_000_000, 256: 1_500_000, 512: 100_000,
+                    1024: 300_000}
 NITER_BASE = 150
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "2700"))
 # "0"/"false" must mean OFF: bool("0") is True, and an accidental smoke
@@ -180,7 +184,8 @@ def bench_matrix(targets):
         t = targets[d] if d in targets else targets["ill512"]
         # bam_fused runs at GSM-like rates: it needs the GSM iteration
         # budget to keep its differential window >= ~1 s of compute.
-        table = (NITER_ADVI if name == "advi"
+        table = (NITER_ADVI_FUSED if name == "advi_fused"
+                 else NITER_ADVI if name.startswith("advi")
                  else NITER if name == "bam_fused"
                  else NITER_BAM if "bam" in name else NITER)
         niter = table[t.d] if not SMOKE else 50
@@ -253,6 +258,14 @@ def bench_matrix(targets):
                                      learning_rate=1e-2, niter=n,
                                      batch_size=B, verbose=False)[:2]
 
+    def advi_stl_run(t):
+        import optax
+
+        g = ADVI(D=t.d, lp=t.lp)
+        return lambda n: g.fit(jax.random.PRNGKey(0), optax.adam(1e-2),
+                               niter=n, batch_size=B, verbose=False,
+                               return_losses=False, estimator="stl")[:2]
+
     ds = [64, 256] if SMOKE else [64, 256, 1024]
     for d in ds:
         add("gsm", d, lambda t: gsm_run(t, use_pallas=False))
@@ -266,6 +279,7 @@ def bench_matrix(targets):
             lambda t: fbam_run(t, pallas_score=t.pallas_score))
         add("advi", d, lambda t: advi_run(t))
         add("advi_fused", d, lambda t: advi_fused_run(t))
+        add("advi_stl", d, lambda t: advi_stl_run(t))
     if not SMOKE:
         add("gsm", 512, lambda t: gsm_run(t, use_pallas=False))
         add("gsm_fused", 512,

@@ -106,11 +106,27 @@ class ADVI:
         return l @ l.T
 
     # -- loss ---------------------------------------------------------------
-    def neg_elbo(self, params, key, batch_size):
+    def neg_elbo(self, params, key, batch_size, estimator="analytic"):
         """Negative ELBO with reparameterized sampling.
 
-        Matches the estimator of reference ``gsmvi/advi.py:31-45``:
-        -(sum lp(x) - sum log q(x)) over a batch of q-samples.
+        ``estimator="analytic"`` (default) matches the estimator of reference
+        ``gsmvi/advi.py:31-45``: -(sum lp(x) - sum log q(x)) over a batch of
+        q-samples, with the entropy term's parameter dependence kept analytic
+        (log q(x(theta); theta) == -|eps|^2/2 - logdet L - const identically
+        in theta for reparameterized samples).
+
+        ``estimator="stl"`` is the "sticking the landing" path-derivative
+        estimator (Roeder, Wu & Duvenaud, NeurIPS 2017): log q is evaluated
+        at STOPPED variational parameters, so the gradient flows only through
+        the sample path ``x = loc + eps @ L^T``.  The two estimators have the
+        same expectation; STL's gradient VARIANCE vanishes as q -> p (the
+        score term it drops is exactly the one that stays MC-noisy at the
+        optimum — measured ~3.6e3x lower gradient norm at the optimum on the
+        D=64 bench target).  Cost: one (D, D) x (D, B) triangular solve per
+        step (the analytic form is solve-free); the solve is panel-sequential
+        on TPU, so STL is the accuracy mode — run the bulk of the fit with
+        the fast analytic/fused path and polish with STL (docs/BENCHMARKS.md
+        "ADVI accuracy recipe").
         """
         # True-f32 matmuls: the reparameterized gradient is sensitive to the
         # TPU's default bf16 matmul passes.
@@ -124,24 +140,48 @@ class ADVI:
                 eps = jax.lax.with_sharding_constraint(
                     eps, data_sharding(self.mesh, self.data_axis))
             samples = loc + eps @ l.T
-            # log q(x(theta); theta) == -|eps|^2/2 - logdet L - D/2 log 2pi
-            # IDENTICALLY in theta for reparameterized samples — same value
-            # and same gradient as the density route, without the
-            # triangular solve (which is panel-sequential and dominates the
-            # step on TPU at large D).
-            logdet = jnp.sum(jnp.log(jnp.abs(jnp.diagonal(l))))
-            logq = (-0.5 * jnp.sum(eps * eps)
+            if estimator == "stl":
+                # v == eps in VALUE (so the loss value matches the analytic
+                # estimator to roundoff) but the solve re-expresses it as a
+                # function of (loc, L) at stopped density parameters — the
+                # gradient keeps only the path derivative.
+                #
+                # Diagonal clamp: STL drops the analytic entropy gradient's
+                # -B/L_ii barrier, so MC noise can pin a diagonal entry at
+                # ~0 (Adam's second moment then explodes: measured f32
+                # overflow -> NaN at D=1024 on the stiff bench target by
+                # step ~860).  Clamping |L_ii| at 1e-5 of the largest
+                # diagonal bounds the solve (|v| <= 1e5 |L eps|, second
+                # moments ~1e16 << f32 max) while biasing nothing until the
+                # factor's diagonal spread exceeds 1e5 (cov condition 1e10).
+                l_bar = jax.lax.stop_gradient(l)
+                loc_bar = jax.lax.stop_gradient(loc)
+                diag = jnp.diagonal(l_bar)
+                floor = 1e-5 * jnp.maximum(jnp.max(jnp.abs(diag)), 1e-30)
+                safe = jnp.where(jnp.abs(diag) < floor,
+                                 jnp.where(diag < 0, -floor, floor), diag)
+                l_safe = l_bar + jnp.diag(safe - diag)
+                v = jax.scipy.linalg.solve_triangular(
+                    l_safe, (samples - loc_bar).T, lower=True).T
+                logdet = jnp.sum(jnp.log(jnp.abs(safe)))
+                ent_quad = -0.5 * jnp.sum(v * v)
+            elif estimator == "analytic":
+                logdet = jnp.sum(jnp.log(jnp.abs(jnp.diagonal(l))))
+                ent_quad = -0.5 * jnp.sum(eps * eps)
+            else:
+                raise ValueError(f"unknown estimator: {estimator!r}")
+            logq = (ent_quad
                     - batch_size * (logdet
                                     + 0.5 * self.D * math.log(2.0 * math.pi)))
             logl = jnp.sum(self.lp(samples))
             return -(logl - logq)
 
-    def _make_step(self, batch_size: int, opt):
+    def _make_step(self, batch_size: int, opt, estimator="analytic"):
         """One jitted ADVI step: (state) -> (state, loss) — the aux contract
         of ``run_fit_loop(collect_aux=True)``."""
 
         def loss_fn(params, key):
-            return self.neg_elbo(params, key, batch_size)
+            return self.neg_elbo(params, key, batch_size, estimator)
 
         def step(state: ADVIState):
             key, key_step = jax.random.split(state.key)
@@ -149,6 +189,17 @@ class ADVI:
             loss, grads = jax.value_and_grad(loss_fn)(params, key_step)
             updates, opt_state2 = opt.update(grads, state.opt_state, params)
             loc, scales = optax.apply_updates(params, updates)
+            if estimator == "stl":
+                # On-device revert of a nonfinite step (insurance behind the
+                # diagonal clamp; the default estimator keeps the
+                # reference's accept-every-step behavior).
+                good = jnp.all(jnp.isfinite(loc)) & jnp.all(
+                    jnp.isfinite(scales))
+                sel = lambda a, b: jnp.where(good, a, b)
+                loc = sel(loc, state.loc)
+                scales = sel(scales, state.scales)
+                opt_state2 = jax.tree_util.tree_map(sel, opt_state2,
+                                                    state.opt_state)
             return (ADVIState(loc, scales, opt_state2, key, state.step + 1,
                               loss), loss)
 
@@ -156,7 +207,7 @@ class ADVI:
 
     def fit(self, key, opt, mean=None, cov=None, batch_size=8, niter=1000,
             nprint=10, verbose=True, monitor=None, return_state=False,
-            return_losses=True):
+            return_losses=True, estimator="analytic"):
         """Run the fit; signature parity with reference ``gsmvi/advi.py:47``.
 
         Returns (mean, cov, losses) — three values, unlike GSM/BaM, matching
@@ -166,6 +217,12 @@ class ADVI:
         to host — the throughput-measurement / serving mode (the transfer
         scales with niter, so it would otherwise contaminate differential
         timings).
+
+        ``estimator="stl"`` switches the ELBO gradient to the
+        sticking-the-landing path-derivative form (see :meth:`neg_elbo`) —
+        same expectation, near-zero gradient variance at the optimum; use it
+        to polish a warm start (``mean=``/``cov=`` from a fused bulk fit)
+        far below the analytic estimator's variance floor.
         """
         dtype = self.dtype
         if mean is None:
@@ -195,11 +252,12 @@ class ADVI:
         # ``opt`` is identity-keyed; RunnerCache pins it against id reuse.
         # The step closure is only built on a cache miss.
         run_chunk = self._runners.get(
-            (batch_size, return_losses), (opt,),
+            (batch_size, return_losses, estimator), (opt,),
             lambda: make_chunk_runner(
-                (self._make_step(batch_size, opt) if return_losses
+                (self._make_step(batch_size, opt, estimator)
+                 if return_losses
                  else (lambda step: (lambda s: step(s)[0]))(
-                     self._make_step(batch_size, opt))),
+                     self._make_step(batch_size, opt, estimator))),
                 collect_aux=return_losses))
         out = run_fit_loop(
             None,  # cached run_chunk carries the body
