@@ -42,8 +42,13 @@ PRIMARY_D = 256
 # x mixing iterations, so the large-D cells get more; ADVI converges much
 # slower per iteration and gets its own (smaller at D=1024 where its step
 # is ~40ms).
-NITER = {64: 40000, 256: 30000, 512: 16000, 1024: 16000}
+NITER = {64: 60000, 256: 40000, 512: 20000, 1024: 16000}
 NITER_BAM = {64: 16000, 256: 8000, 512: 2000, 1024: 3000}
+# bam_fused runs at 85k/65k/14k it/s (ladder, quiet machine): the shared
+# NITER table gave it 0.3-0.5 s differential windows, which tunnel jitter
+# underreads 3x (measured in the r3 driver-style run: 20.9k vs 58k @256
+# for the same build at 100k iters).  >=1.5 s windows:
+NITER_BAM_FUSED = {64: 150_000, 256: 100_000, 512: 50_000, 1024: 20_000}
 # ADVI's step is fast (measured 67 us raw at D=1024) but short fits are
 # measurement-floor-bound on the tunneled device; budgets sized so the
 # differential window is >~1 s of compute (cells with shorter windows
@@ -186,7 +191,7 @@ def bench_matrix(targets):
         # budget to keep its differential window >= ~1 s of compute.
         table = (NITER_ADVI_FUSED if name == "advi_fused"
                  else NITER_ADVI if name.startswith("advi")
-                 else NITER if name == "bam_fused"
+                 else NITER_BAM_FUSED if name == "bam_fused"
                  else NITER_BAM if "bam" in name else NITER)
         niter = table[t.d] if not SMOKE else 50
         try:

@@ -1,6 +1,9 @@
 """Fit a Gaussian target with ADVI / ELBO maximization (TPU-native).
 
-Mirrors the reference examples/example_advi.py: D=4, adam(1e-2), batch 16.
+Mirrors the reference examples/example_advi.py: D=4, adam(1e-2), batch 16 —
+then polishes the fit with the STL (sticking-the-landing) gradient
+estimator, which keeps contracting below the default estimator's Adam
+variance floor (docs/DERIVATIONS.md section 8).
 
 Run: python examples/example_advi.py
 """
@@ -25,3 +28,13 @@ if __name__ == "__main__":
     print("\nTrue mean : ", np.asarray(target.mean))
     print("Fit mean  : ", np.asarray(mean_fit))
     print("neg-ELBO  : ", losses[0], "->", losses[-1])
+
+    # Two-phase accuracy recipe: warm-start an STL polish from the bulk fit.
+    # (On TPU, run the bulk phase with advi.fit_fused — ~1M it/s at D=64.)
+    mean_stl, cov_stl, _ = advi.fit(
+        jax.random.PRNGKey(100), optax.adam(2e-3), mean=mean_fit,
+        cov=cov_fit, batch_size=16, niter=4000, estimator="stl",
+        verbose=False)
+    err = np.abs(np.asarray(cov_fit) - np.asarray(target.cov)).max()
+    err_stl = np.abs(np.asarray(cov_stl) - np.asarray(target.cov)).max()
+    print("max cov err: ", err, "-> (STL polish)", err_stl)

@@ -28,8 +28,10 @@ import optax
 
 from .distributions import mvn_logpdf
 from .driver import RunnerCache, make_chunk_runner, on_tpu, run_fit_loop
-from .ops.pallas.advi_fused import advi_fused_supported, \
-    make_fused_advi_multistep
+from .ops.pallas.advi_fused import (advi_fused_supported,
+                                    advi_stl_fused_supported,
+                                    make_fused_advi_multistep,
+                                    make_fused_advi_stl_multistep)
 from .parallel.mesh import data_sharding
 from .state import VIState  # noqa: F401  (monitor protocol shares shapes)
 
@@ -54,6 +56,22 @@ class FusedADVIState(NamedTuple):
     ml: jax.Array        # (D, D) Adam first moment of L
     vl: jax.Array        # (D, D) Adam second moment of L
     key: jax.Array       # constant seed base; eps = fold_in(key, step)
+    step: jax.Array
+
+
+class FusedADVISTLState(NamedTuple):
+    """State of the fused STL path: the standard fused state plus the
+    tracked lower-triangular inverse ``ainv ~= l^{-1}`` (part of the state
+    so trajectories stay invariant to chunk/monitor cadence and resume
+    exactly; re-seeded with an exact solve after every stiff replay)."""
+    loc: jax.Array       # (D,)
+    l: jax.Array         # (D, D)
+    ainv: jax.Array      # (D, D) Newton-tracked l^{-1}
+    mloc: jax.Array      # (D,)
+    vloc: jax.Array      # (D,)
+    ml: jax.Array        # (D, D)
+    vl: jax.Array        # (D, D)
+    key: jax.Array
     step: jax.Array
 
 
@@ -282,14 +300,17 @@ class ADVI:
         return state.loc, self.scales_to_cov(state.scales), losses
 
     # -- fused-Pallas path ----------------------------------------------------
-    def _fused_supported(self, batch_size: int) -> bool:
+    def _fused_supported(self, batch_size: int,
+                         estimator: str = "analytic") -> bool:
         if self.pallas_score is None or self.mesh is not None:
             return False
         if not (on_tpu() or self._interpret):
             return False
         shapes = [jnp.shape(p) for p in self.pallas_score[1]]
-        return advi_fused_supported(batch_size, self.D, self.steps_per_call,
-                                    param_shapes=shapes)
+        gate = (advi_stl_fused_supported if estimator == "stl"
+                else advi_fused_supported)
+        return gate(batch_size, self.D, self.steps_per_call,
+                    param_shapes=shapes)
 
     def _make_fused_runner(self, batch_size: int, learning_rate, b1: float,
                            b2: float, eps_adam: float):
@@ -345,10 +366,122 @@ class ADVI:
 
         return run_chunk
 
+    @staticmethod
+    def _safe_tril(l):
+        """Diagonal-clamped factor for solves (same floor as the STL loss:
+        bias-free below covariance condition 1e10, bounded above f32
+        overflow)."""
+        diag = jnp.diagonal(l)
+        floor = 1e-5 * jnp.maximum(jnp.max(jnp.abs(diag)), 1e-30)
+        safe = jnp.where(jnp.abs(diag) < floor,
+                         jnp.where(diag < 0, -floor, floor), diag)
+        return l + jnp.diag(safe - diag)
+
+    def _exact_ainv(self, l):
+        return jax.scipy.linalg.solve_triangular(
+            self._safe_tril(l), jnp.eye(self.D, dtype=jnp.float32),
+            lower=True)
+
+    def _make_fused_stl_runner(self, batch_size: int, learning_rate,
+                               b1: float, b2: float, eps_adam: float):
+        """Chunk runner on the fused STL kernel (tracked inverse + gate).
+
+        Mirrors the BaM fused runner's stiff-replay structure: the kernel
+        freezes at the first sub-step whose inverse-tracking residual trips
+        the gate; that one step replays here at the XLA level — exact
+        clamped triangular solve, identical draw and optax-exact Adam — and
+        the tracked inverse re-seeds with an exact solve."""
+        score_fn, params = self.pallas_score
+        spc = self.steps_per_call
+        d = self.D
+        multi = make_fused_advi_stl_multistep(
+            score_fn, len(params), batch_size, d, spc, b1=b1, b2=b2,
+            eps_adam=eps_adam, interpret=self._interpret)
+        if callable(learning_rate):
+            lr_fn = learning_rate
+        else:
+            lr_const = float(learning_rate)
+            lr_fn = lambda s: lr_const
+        b1f, b2f = jnp.float32(b1), jnp.float32(b2)
+
+        def adam1(p, m, v, g, lr, bc1, bc2):
+            m = b1f * m + (1.0 - b1f) * g
+            v = b2f * v + (1.0 - b2f) * (g * g)
+            return p - lr * (m * bc1) / (jnp.sqrt(v * bc2) + eps_adam), m, v
+
+        from functools import partial
+
+        @partial(jax.jit, static_argnums=1)
+        def run_chunk(state, k):
+            key = state.key
+            step0 = state.step
+
+            def lr_bc(steps):
+                t = (steps + 1).astype(jnp.float32)
+                lrs = jax.vmap(
+                    lambda s: jnp.asarray(lr_fn(s), jnp.float32))(steps)
+                return lrs, 1.0 / (1.0 - jnp.power(b1f, t)), \
+                    1.0 / (1.0 - jnp.power(b2f, t))
+
+            def body(state):
+                steps = state.step + jnp.arange(spc, dtype=jnp.int32)
+                lrs, bc1s, bc2s = lr_bc(steps)
+                eps_block = jax.vmap(
+                    lambda s: jax.random.normal(jax.random.fold_in(key, s),
+                                                (batch_size, d),
+                                                jnp.float32))(steps)
+                nmax = jnp.minimum(jnp.int32(spc),
+                                   jnp.int32(k) - (state.step - step0))
+                (loc, l, ainv, mloc, vloc, ml, vl, n_done, stiff) = multi(
+                    lrs, bc1s, bc2s, nmax, eps_block, state.loc, state.l,
+                    state.ainv, state.mloc, state.vloc, state.ml, state.vl,
+                    *params)
+                state = FusedADVISTLState(loc, l, ainv, mloc, vloc, ml, vl,
+                                          key, state.step + n_done)
+
+                def replay(s):
+                    with jax.default_matmul_precision("float32"):
+                        t = (s.step + 1).astype(jnp.float32)
+                        lr = jnp.asarray(lr_fn(s.step), jnp.float32)
+                        bc1 = 1.0 / (1.0 - jnp.power(b1f, t))
+                        bc2 = 1.0 / (1.0 - jnp.power(b2f, t))
+                        e = jax.random.normal(
+                            jax.random.fold_in(key, s.step),
+                            (batch_size, d), jnp.float32)
+                        l_safe = self._safe_tril(s.l)
+                        x = s.loc[None, :] + e @ s.l.T
+                        sc = score_fn(x, *params)
+                        # X = L^{-T} E^T  (exact clamped solve)
+                        w = jax.scipy.linalg.solve_triangular(
+                            l_safe, e.T, lower=True, trans=1)
+                        g_all = sc + w.T
+                        g_loc = -jnp.sum(g_all, axis=0)
+                        g_l = jnp.tril(-g_all.T @ e)
+                        loc_n, mloc_n, vloc_n = adam1(
+                            s.loc, s.mloc, s.vloc, g_loc, lr, bc1, bc2)
+                        l_n, ml_n, vl_n = adam1(s.l, s.ml, s.vl, g_l, lr,
+                                                bc1, bc2)
+                        good = jnp.all(jnp.isfinite(loc_n)) & jnp.all(
+                            jnp.isfinite(l_n))
+                        sel = lambda a, b: jnp.where(good, a, b)
+                        l_n = sel(l_n, s.l)
+                        return FusedADVISTLState(
+                            sel(loc_n, s.loc), l_n, self._exact_ainv(l_n),
+                            sel(mloc_n, s.mloc), sel(vloc_n, s.vloc),
+                            sel(ml_n, s.ml), sel(vl_n, s.vl), key,
+                            s.step + 1)
+
+                return jax.lax.cond(stiff > 0, replay, lambda s: s, state)
+
+            return jax.lax.while_loop(
+                lambda s: s.step - step0 < k, body, state)
+
+        return run_chunk
+
     def fit_fused(self, key, learning_rate=1e-2, b1=0.9, b2=0.999,
                   eps=1e-8, mean=None, cov=None, batch_size=8, niter=1000,
                   nprint=10, verbose=True, monitor=None, return_state=False,
-                  state=None):
+                  state=None, estimator="analytic"):
         """ADVI fit on the fused whole-step Pallas kernel (TPU serving path).
 
         The optimizer is in-kernel Adam with exact ``optax.adam`` semantics;
@@ -360,19 +493,27 @@ class ADVI:
         optimizer, different eps stream, so trajectories match the fused
         path in distribution, not bitwise.
 
+        ``estimator="stl"`` runs the sticking-the-landing gradient
+        (:meth:`neg_elbo`) fused: the kernel maintains a Newton-tracked
+        ``l^{-1}`` for the ``L^{-T} eps`` products (a triangular solve is
+        panel-sequential and cannot live in the kernel), gates on the
+        tracking residual, and stiff steps replay here with the exact
+        clamped solve — see ops/pallas/advi_fused.py.
+
         Returns ``(mean, cov, losses=None)`` (loss traces are not computed
         in-kernel; fit with ``return_losses=True`` or a ``monitor`` covers
         diagnostics), or ``(state, None)`` with ``return_state``.
         """
-        if not self._fused_supported(batch_size):
+        if not self._fused_supported(batch_size, estimator):
             return self.fit(key, optax.adam(learning_rate, b1=b1, b2=b2,
                                             eps=eps),
                             mean=mean, cov=cov, batch_size=batch_size,
                             niter=niter, nprint=nprint, verbose=verbose,
                             monitor=monitor, return_state=return_state,
-                            return_losses=False)
+                            return_losses=False, estimator=estimator)
         f32 = jnp.float32
         d = self.D
+        stl = estimator == "stl"
         if state is None:
             def build_init():
                 @jax.jit
@@ -381,25 +522,43 @@ class ADVI:
                         jnp.asarray(cov, f32)))
                     z_row = jnp.zeros(d, f32)
                     z_mat = jnp.zeros((d, d), f32)
+                    if stl:
+                        return FusedADVISTLState(
+                            jnp.asarray(mean, f32), l0,
+                            self._exact_ainv(l0), z_row, z_row, z_mat,
+                            z_mat, key, jnp.zeros((), jnp.int32))
                     return FusedADVIState(
                         jnp.asarray(mean, f32), l0, z_row, z_row, z_mat,
                         z_mat, key, jnp.zeros((), jnp.int32))
 
                 return init_state
 
-            init_state = self._runners.get(("fused_init",), (), build_init)
+            init_state = self._runners.get(("fused_init", stl), (),
+                                           build_init)
             state = init_state(
                 jnp.zeros(d, f32) if mean is None else mean,
                 jnp.eye(d, dtype=f32) if cov is None else cov, key)
+        elif stl and not isinstance(state, FusedADVISTLState):
+            # Lift a standard fused state into the STL path (two-phase
+            # recipe without leaving the fused kernels).
+            state = FusedADVISTLState(
+                state.loc, state.l, self._exact_ainv(state.l), state.mloc,
+                state.vloc, state.ml, state.vl, state.key, state.step)
+        elif not stl and isinstance(state, FusedADVISTLState):
+            state = FusedADVIState(state.loc, state.l, state.mloc,
+                                   state.vloc, state.ml, state.vl,
+                                   state.key, state.step)
 
         lr_objs = (learning_rate,) if callable(learning_rate) else ()
         run_chunk = self._runners.get(
-            ("fused", batch_size, self.steps_per_call, b1, b2, eps,
-             None if callable(learning_rate) else float(learning_rate),
+            ("fused", estimator, batch_size, self.steps_per_call, b1, b2,
+             eps, None if callable(learning_rate) else float(learning_rate),
              self._interpret),
             (self.pallas_score[0], *self.pallas_score[1], *lr_objs),
-            lambda: self._make_fused_runner(batch_size, learning_rate,
-                                            b1, b2, eps))
+            lambda: (self._make_fused_stl_runner if stl
+                     else self._make_fused_runner)(batch_size,
+                                                   learning_rate, b1, b2,
+                                                   eps))
         state = run_fit_loop(
             None, state, niter,
             monitor=monitor,

@@ -230,6 +230,41 @@ def test_advi_fused_kernel_matches_interpret_on_tpu(rng32):
                                    atol=1e-4, rtol=1e-5)
 
 
+def test_advi_stl_fused_kernel_matches_interpret_on_tpu(rng32):
+    """Mosaic vs interpret agreement for the fused STL kernel (tracked
+    inverse included).  Tolerance as the analytic-kernel test: Adam
+    amplifies matmul rounding on early low-second-moment entries."""
+    from gsmvi_tpu.models import dense_gaussian
+    from gsmvi_tpu.ops.pallas.advi_fused import \
+        make_fused_advi_stl_multistep
+
+    b, d, spc = 32, 256, 8
+    t = dense_gaussian(jax.random.PRNGKey(3), d)
+    score_fn, sparams = t.pallas_score
+    loc0 = jnp.asarray(rng32.normal(size=d), jnp.float32)
+    l0 = jnp.tril(jnp.eye(d, dtype=jnp.float32) + 0.05 * jnp.asarray(
+        rng32.normal(size=(d, d)), jnp.float32))
+    ainv0 = jax.scipy.linalg.solve_triangular(
+        l0, jnp.eye(d, dtype=jnp.float32), lower=True).astype(jnp.float32)
+    eps = jnp.asarray(rng32.normal(size=(spc * b, d)), jnp.float32)
+    lrs = jnp.full((spc,), 1e-2, jnp.float32)
+    t_idx = jnp.arange(1, spc + 1, dtype=jnp.float32)
+    bc1s = 1.0 / (1.0 - 0.9 ** t_idx)
+    bc2s = 1.0 / (1.0 - 0.999 ** t_idx)
+    z = jnp.zeros(d, jnp.float32)
+    zm = jnp.zeros((d, d), jnp.float32)
+    args = (lrs, bc1s, bc2s, spc, eps, loc0, l0, ainv0, z, z, zm, zm,
+            *sparams)
+    hw = make_fused_advi_stl_multistep(score_fn, len(sparams), b, d,
+                                       spc)(*args)
+    it = make_fused_advi_stl_multistep(score_fn, len(sparams), b, d, spc,
+                                       interpret=True)(*args)
+    assert int(hw[7]) == int(it[7]) and int(hw[8]) == int(it[8])
+    for a_hw, a_it in zip(hw[:7], it[:7]):
+        np.testing.assert_allclose(np.asarray(a_hw), np.asarray(a_it),
+                                   atol=1e-4, rtol=1e-4)
+
+
 def test_advi_fused_fit_converges_on_tpu():
     """End-to-end fit_fused on hardware recovers a benign target's moments
     (the real Mosaic kernel, multistep loop, fold_in eps stream)."""
