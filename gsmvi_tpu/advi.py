@@ -505,6 +505,15 @@ class ADVI:
         diagnostics), or ``(state, None)`` with ``return_state``.
         """
         if not self._fused_supported(batch_size, estimator):
+            if state is not None:
+                # Resume-through-fallback: continue from the state's
+                # (mean, cov) — fused states carry l, XLA states carry
+                # scales.  The Adam moments restart (optax state and
+                # kernel moments are different pytrees), which only costs
+                # a short re-warmup of the second-moment scale.
+                mean = state.loc
+                cov = self.scales_to_cov(state.l if hasattr(state, "l")
+                                         else state.scales)
             return self.fit(key, optax.adam(learning_rate, b1=b1, b2=b2,
                                             eps=eps),
                             mean=mean, cov=cov, batch_size=batch_size,
@@ -538,6 +547,20 @@ class ADVI:
             state = init_state(
                 jnp.zeros(d, f32) if mean is None else mean,
                 jnp.eye(d, dtype=f32) if cov is None else cov, key)
+        elif hasattr(state, "scales"):
+            # An XLA ADVIState (e.g. from a fallback leg): lift (loc,
+            # scales) into the fused form; Adam moments restart.
+            z_row = jnp.zeros(d, f32)
+            z_mat = jnp.zeros((d, d), f32)
+            l0 = self.scales_to_tril(state.scales).astype(f32)
+            state = FusedADVIState(jnp.asarray(state.loc, f32), l0, z_row,
+                                   z_row, z_mat, z_mat, state.key,
+                                   jnp.asarray(state.step, jnp.int32))
+            if stl:
+                state = FusedADVISTLState(
+                    state.loc, state.l, self._exact_ainv(state.l),
+                    state.mloc, state.vloc, state.ml, state.vl, state.key,
+                    state.step)
         elif stl and not isinstance(state, FusedADVISTLState):
             # Lift a standard fused state into the STL path (two-phase
             # recipe without leaving the fused kernels).

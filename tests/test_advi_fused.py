@@ -204,6 +204,33 @@ def test_fit_fused_falls_back_off_tpu():
     assert np.all(np.isfinite(np.asarray(cov)))
 
 
+def test_fit_fused_fallback_resumes_from_state():
+    """Where the kernel is unavailable, fit_fused(state=...) must continue
+    from the state's (mean, cov) through the XLA fallback — not silently
+    restart from the identity init (round-3 fix)."""
+    import jax.numpy as jnp
+
+    from gsmvi_tpu import ADVI
+    from gsmvi_tpu.advi import FusedADVIState
+    from gsmvi_tpu.models import dense_gaussian
+
+    d = 5
+    t = dense_gaussian(jax.random.PRNGKey(4), d, scale=0.4)
+    g = ADVI(D=d, lp=t.lp, pallas_score=t.pallas_score)
+    assert not g._fused_supported(8)  # CPU: falls back
+    loc0 = jnp.full(d, 3.0, jnp.float32)
+    z = jnp.zeros(d, jnp.float32)
+    zm = jnp.zeros((d, d), jnp.float32)
+    st = FusedADVIState(loc0, jnp.eye(d, dtype=jnp.float32), z, z, zm, zm,
+                        jax.random.PRNGKey(0), jnp.asarray(7, jnp.int32))
+    mean, cov, _ = g.fit_fused(jax.random.PRNGKey(1), learning_rate=1e-3,
+                               niter=5, batch_size=8, verbose=False,
+                               state=st)
+    # 5 steps at lr 1e-3 move each coordinate < ~5e-3: the fit must still
+    # sit near the state's loc, not near the default zero init.
+    assert np.abs(np.asarray(mean) - 3.0).max() < 0.1
+
+
 def test_fit_fused_monitor_and_resume(monkeypatch):
     """KLMonitor runs at its cadence on the fused path, and a state=
     resume continues the exact trajectory (fold_in(key, step) stream)."""
