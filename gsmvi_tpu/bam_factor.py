@@ -152,9 +152,19 @@ class FactorBaM:
         thresholds the descending reg values at which tiers 1.. engage
         (bam_fused.ns_tier_thresholds).  Built-in benign tiers are pruned
         to those whose gates sit BELOW the configured ones, so tightening
-        ``gu_gate``/``lmax_gate`` tightens the whole ladder."""
+        ``gu_gate``/``lmax_gate`` tightens the whole ladder.
+
+        ``ns_profile="auto"`` engages the ladder only for D <= 256: the
+        tier prediction is reg-only, but the Y-Gram statistic behind the
+        lmax gate grows with D (and the target's scale), so at D=512/1024
+        the benign tiers' gates trip on most steady-state steps and every
+        such step replays through the ~4-8x-costlier XLA SVD path —
+        measured v5e throughput REGRESSIONS of -11% at 512 and -3.2x at
+        1024 vs the single long profile (accuracy untouched; replays are
+        exact — the ladder's mispredictions cost only throughput, which
+        is exactly why this cutoff can be a blunt heuristic)."""
         tier0 = (self.ns_iters, self.gu_gate, self.lmax_gate)
-        if self.ns_profile == "long":
+        if self.ns_profile == "long" or self.D > 256:
             return (tier0,), ()
         lower = tuple(t for t in BAM_NS_TIERS[1:]
                       if t[1] <= self.gu_gate and t[2] <= self.lmax_gate)

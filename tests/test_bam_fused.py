@@ -430,6 +430,25 @@ def test_ns_tier_thresholds_descend_and_scale():
     assert 20.0 < predicted_gu_coeff(32, 256) < 32.0
 
 
+def test_ladder_disengages_above_d256():
+    """ns_profile="auto" runs the single long profile above D=256: the
+    reg-only tier prediction underestimates the D-scaled Y-Gram statistic
+    there, and the resulting every-step gate trips replay through the
+    ~4-8x-costlier XLA SVD path (measured -11% at 512, -3.2x at 1024 vs
+    the long profile).  Accuracy is never at stake — this pins the
+    throughput heuristic."""
+    from gsmvi_tpu import FactorBaM
+    from gsmvi_tpu.models import dense_gaussian
+
+    for d, n_tiers in ((64, len(BAM_NS_TIERS)), (256, len(BAM_NS_TIERS)),
+                       (512, 1), (1024, 1)):
+        t = dense_gaussian(jax.random.PRNGKey(0), 4)  # lp unused here
+        g = FactorBaM(D=d, lp=t.lp, lp_g=t.lp_g)
+        tiers, thresholds = g._ns_tiers(32)
+        assert len(tiers) == n_tiers, (d, len(tiers))
+        assert len(thresholds) == n_tiers - 1
+
+
 def test_ladder_and_long_profiles_reach_same_moments(rng, monkeypatch):
     """ns_profile="auto" (ladder) and "long" must converge to the same
     moments on the same key — tier switching changes per-step numerics by
