@@ -75,6 +75,25 @@ class FusedADVISTLState(NamedTuple):
     step: jax.Array
 
 
+def _as_lr_fn(learning_rate):
+    """Normalize a float-or-schedule learning rate to ``step -> lr``."""
+    if callable(learning_rate):
+        return learning_rate
+    lr_const = float(learning_rate)
+    return lambda s: lr_const
+
+
+def _lr_bias_arrays(lr_fn, b1f, b2f, steps):
+    """Per-step learning rates and Adam bias corrections for ABSOLUTE step
+    indices ``steps`` — the single source the fused kernels, their
+    runners, and the XLA replay all share (optax.adam exactness rests on
+    these being one formula)."""
+    t = (steps + 1).astype(jnp.float32)
+    lrs = jax.vmap(lambda s: jnp.asarray(lr_fn(s), jnp.float32))(steps)
+    return (lrs, 1.0 / (1.0 - jnp.power(b1f, t)),
+            1.0 / (1.0 - jnp.power(b2f, t)))
+
+
 class ADVI:
     """Fit a dense-covariance Gaussian by maximizing the ELBO with optax.
 
@@ -164,24 +183,20 @@ class ADVI:
                 # function of (loc, L) at stopped density parameters — the
                 # gradient keeps only the path derivative.
                 #
-                # Diagonal clamp: STL drops the analytic entropy gradient's
-                # -B/L_ii barrier, so MC noise can pin a diagonal entry at
-                # ~0 (Adam's second moment then explodes: measured f32
-                # overflow -> NaN at D=1024 on the stiff bench target by
-                # step ~860).  Clamping |L_ii| at 1e-5 of the largest
-                # diagonal bounds the solve (|v| <= 1e5 |L eps|, second
-                # moments ~1e16 << f32 max) while biasing nothing until the
-                # factor's diagonal spread exceeds 1e5 (cov condition 1e10).
-                l_bar = jax.lax.stop_gradient(l)
+                # Diagonal clamp (_safe_tril): STL drops the analytic
+                # entropy gradient's -B/L_ii barrier, so MC noise can pin a
+                # diagonal entry at ~0 (Adam's second moment then explodes:
+                # measured f32 overflow -> NaN at D=1024 on the stiff bench
+                # target by step ~860).  Clamping |L_ii| at 1e-5 of the
+                # largest diagonal bounds the solve (|v| <= 1e5 |L eps|,
+                # second moments ~1e16 << f32 max) while biasing nothing
+                # until the factor's diagonal spread exceeds 1e5 (cov
+                # condition 1e10).
+                l_safe = self._safe_tril(jax.lax.stop_gradient(l))
                 loc_bar = jax.lax.stop_gradient(loc)
-                diag = jnp.diagonal(l_bar)
-                floor = 1e-5 * jnp.maximum(jnp.max(jnp.abs(diag)), 1e-30)
-                safe = jnp.where(jnp.abs(diag) < floor,
-                                 jnp.where(diag < 0, -floor, floor), diag)
-                l_safe = l_bar + jnp.diag(safe - diag)
                 v = jax.scipy.linalg.solve_triangular(
                     l_safe, (samples - loc_bar).T, lower=True).T
-                logdet = jnp.sum(jnp.log(jnp.abs(safe)))
+                logdet = jnp.sum(jnp.log(jnp.abs(jnp.diagonal(l_safe))))
                 ent_quad = -0.5 * jnp.sum(v * v)
             elif estimator == "analytic":
                 logdet = jnp.sum(jnp.log(jnp.abs(jnp.diagonal(l))))
@@ -328,11 +343,7 @@ class ADVI:
         multi = make_fused_advi_multistep(
             score_fn, len(params), batch_size, d, spc, b1=b1, b2=b2,
             eps_adam=eps_adam, interpret=self._interpret)
-        if callable(learning_rate):
-            lr_fn = learning_rate
-        else:
-            lr_const = float(learning_rate)
-            lr_fn = lambda s: lr_const
+        lr_fn = _as_lr_fn(learning_rate)
         b1f, b2f = jnp.float32(b1), jnp.float32(b2)
 
         from functools import partial
@@ -344,11 +355,7 @@ class ADVI:
 
             def body(state):
                 steps = state.step + jnp.arange(spc, dtype=jnp.int32)
-                t = (steps + 1).astype(jnp.float32)
-                lrs = jax.vmap(
-                    lambda s: jnp.asarray(lr_fn(s), jnp.float32))(steps)
-                bc1s = 1.0 / (1.0 - jnp.power(b1f, t))
-                bc2s = 1.0 / (1.0 - jnp.power(b2f, t))
+                lrs, bc1s, bc2s = _lr_bias_arrays(lr_fn, b1f, b2f, steps)
                 eps_block = jax.vmap(
                     lambda s: jax.random.normal(jax.random.fold_in(key, s),
                                                 (batch_size, d),
@@ -394,20 +401,13 @@ class ADVI:
         score_fn, params = self.pallas_score
         spc = self.steps_per_call
         d = self.D
+        from .ops.pallas.advi_fused import _adam_apply
+
         multi = make_fused_advi_stl_multistep(
             score_fn, len(params), batch_size, d, spc, b1=b1, b2=b2,
             eps_adam=eps_adam, interpret=self._interpret)
-        if callable(learning_rate):
-            lr_fn = learning_rate
-        else:
-            lr_const = float(learning_rate)
-            lr_fn = lambda s: lr_const
+        lr_fn = _as_lr_fn(learning_rate)
         b1f, b2f = jnp.float32(b1), jnp.float32(b2)
-
-        def adam1(p, m, v, g, lr, bc1, bc2):
-            m = b1f * m + (1.0 - b1f) * g
-            v = b2f * v + (1.0 - b2f) * (g * g)
-            return p - lr * (m * bc1) / (jnp.sqrt(v * bc2) + eps_adam), m, v
 
         from functools import partial
 
@@ -416,16 +416,9 @@ class ADVI:
             key = state.key
             step0 = state.step
 
-            def lr_bc(steps):
-                t = (steps + 1).astype(jnp.float32)
-                lrs = jax.vmap(
-                    lambda s: jnp.asarray(lr_fn(s), jnp.float32))(steps)
-                return lrs, 1.0 / (1.0 - jnp.power(b1f, t)), \
-                    1.0 / (1.0 - jnp.power(b2f, t))
-
             def body(state):
                 steps = state.step + jnp.arange(spc, dtype=jnp.int32)
-                lrs, bc1s, bc2s = lr_bc(steps)
+                lrs, bc1s, bc2s = _lr_bias_arrays(lr_fn, b1f, b2f, steps)
                 eps_block = jax.vmap(
                     lambda s: jax.random.normal(jax.random.fold_in(key, s),
                                                 (batch_size, d),
@@ -441,10 +434,9 @@ class ADVI:
 
                 def replay(s):
                     with jax.default_matmul_precision("float32"):
-                        t = (s.step + 1).astype(jnp.float32)
-                        lr = jnp.asarray(lr_fn(s.step), jnp.float32)
-                        bc1 = 1.0 / (1.0 - jnp.power(b1f, t))
-                        bc2 = 1.0 / (1.0 - jnp.power(b2f, t))
+                        lr1, bc11, bc21 = _lr_bias_arrays(
+                            lr_fn, b1f, b2f, s.step[None])
+                        lr, bc1, bc2 = lr1[0], bc11[0], bc21[0]
                         e = jax.random.normal(
                             jax.random.fold_in(key, s.step),
                             (batch_size, d), jnp.float32)
@@ -457,10 +449,12 @@ class ADVI:
                         g_all = sc + w.T
                         g_loc = -jnp.sum(g_all, axis=0)
                         g_l = jnp.tril(-g_all.T @ e)
-                        loc_n, mloc_n, vloc_n = adam1(
-                            s.loc, s.mloc, s.vloc, g_loc, lr, bc1, bc2)
-                        l_n, ml_n, vl_n = adam1(s.l, s.ml, s.vl, g_l, lr,
-                                                bc1, bc2)
+                        loc_n, mloc_n, vloc_n = _adam_apply(
+                            s.loc, s.mloc, s.vloc, g_loc, lr, bc1, bc2,
+                            b1, b2, eps_adam)
+                        l_n, ml_n, vl_n = _adam_apply(
+                            s.l, s.ml, s.vl, g_l, lr, bc1, bc2, b1, b2,
+                            eps_adam)
                         good = jnp.all(jnp.isfinite(loc_n)) & jnp.all(
                             jnp.isfinite(l_n))
                         sel = lambda a, b: jnp.where(good, a, b)
@@ -504,6 +498,11 @@ class ADVI:
         in-kernel; fit with ``return_losses=True`` or a ``monitor`` covers
         diagnostics), or ``(state, None)`` with ``return_state``.
         """
+        if estimator not in ("analytic", "stl"):
+            # Validate HERE, not just in neg_elbo: on the fused path an
+            # unknown string would otherwise silently select the analytic
+            # kernel (and only raise on machines without a TPU).
+            raise ValueError(f"unknown estimator: {estimator!r}")
         if not self._fused_supported(batch_size, estimator):
             if state is not None:
                 # Resume-through-fallback: continue from the state's

@@ -266,6 +266,11 @@ def make_fused_advi_stl_multistep(score_fn, n_params: int, batch: int,
     exactly (XLA solve) and re-seed ``ainv``."""
     if not _HAS_PLTPU and not interpret:
         raise RuntimeError("fused STL ADVI multistep requires TPU pallas")
+    if sweeps < 1:
+        # The body always performs the first sweep (it reuses the gate's
+        # residual); sweeps=0 would silently run 1 sweep with a gate
+        # computed for 0.
+        raise ValueError("sweeps must be >= 1")
     spc = steps_per_call
     bp = _HI if big_prec is None else big_prec
     gate_first = float(res_gate) ** (1.0 / (2.0 ** sweeps))
@@ -299,8 +304,6 @@ def make_fused_advi_stl_multistep(score_fn, n_params: int, batch: int,
                 r = eye - mm(l, a)
                 a = a + mm(a, r)
             bad = (~jnp.isfinite(r_norm)) | (r_norm > gate_first)
-            stop_now = active & bad
-            consume = active & ~stop_now
 
             e = eps_ref[pl.ds(j * batch, batch), :]
             x = loc + jax.lax.dot_general(
@@ -316,6 +319,16 @@ def make_fused_advi_stl_multistep(score_fn, n_params: int, batch: int,
                 s + p, e, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=bp)
             g_l = jnp.where(tril, -spe, 0.0)
+            # A nonfinite gradient (score overflow, exploding sample) must
+            # NOT be consumed: Adam would write NaN (or silently poison
+            # the second moments with inf) into the carried state, and the
+            # replay would then revert INTO the poisoned state.  Finite
+            # gradients make every downstream Adam op finite, so gating at
+            # the source suffices.
+            bad = bad | ~(jnp.all(jnp.isfinite(g_loc))
+                          & jnp.all(jnp.isfinite(g_l)))
+            stop_now = active & bad
+            consume = active & ~stop_now
             lr, bc1, bc2 = lrs_ref[j], bc1_ref[j], bc2_ref[j]
             loc_n, mloc_n, vloc_n = _adam_apply(loc, mloc, vloc, g_loc, lr,
                                                 bc1, bc2, b1, b2, eps_adam)

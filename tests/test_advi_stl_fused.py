@@ -260,6 +260,53 @@ def test_fit_fused_stl_resume_and_lift(monkeypatch):
     assert np.all(np.isfinite(np.asarray(st1.l)))
 
 
+def test_stl_kernel_freezes_on_nonfinite_gradient(rng):
+    """A sub-step whose gradient overflows f32 (huge draw -> |g| = inf)
+    must NOT be consumed: Adam would write NaN/inf into the carried state
+    and the replay would revert INTO the poisoned state (review finding).
+    The kernel freezes at that sub-step instead."""
+    from gsmvi_tpu.models import dense_gaussian
+
+    b, d, spc = 4, 8, 4
+    t = dense_gaussian(jax.random.PRNGKey(3), d, scale=0.5)
+    score_fn, sparams = t.pallas_score
+    loc0 = jnp.zeros(d, jnp.float32)
+    l0 = jnp.eye(d, dtype=jnp.float32)
+    ainv0 = jnp.eye(d, dtype=jnp.float32)
+    eps = jnp.asarray(rng.normal(size=(spc, b, d)), jnp.float32)
+    eps = eps.at[2].set(1e30)  # s ~ 1e30 finite, g_l ~ s^T e -> inf
+    lrs = jnp.full((spc,), 1e-2, jnp.float32)
+    out = _run_kernel(score_fn, sparams, loc0, l0, ainv0, eps, lrs, spc,
+                      b, d)
+    assert int(out[7]) == 2 and int(out[8]) == 1
+    for a in out[:7]:
+        assert np.all(np.isfinite(np.asarray(a)))
+    # frozen state == the clean 2-step run (nmax=2) on the same block
+    t_idx = jnp.arange(1, spc + 1, dtype=jnp.float32)
+    bc1s = 1.0 / (1.0 - 0.9 ** t_idx)
+    bc2s = 1.0 / (1.0 - 0.999 ** t_idx)
+    multi = make_fused_advi_stl_multistep(score_fn, len(sparams), b, d,
+                                          spc, interpret=True)
+    z = jnp.zeros(d, jnp.float32)
+    zm = jnp.zeros((d, d), jnp.float32)
+    ref = multi(lrs, bc1s, bc2s, 2, eps.reshape(spc * b, d), loc0, l0,
+                ainv0, z, z, zm, zm, *sparams)
+    for a, c in zip(out[:7], ref[:7]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_fit_fused_rejects_unknown_estimator(monkeypatch):
+    """A typo'd estimator must raise on the fused path too, not silently
+    run the analytic kernel (review finding)."""
+    from gsmvi_tpu.models import dense_gaussian
+
+    t = dense_gaussian(jax.random.PRNGKey(1), 6, scale=0.5)
+    g = _fused_advi(t, 6, monkeypatch)
+    with pytest.raises(ValueError, match="estimator"):
+        g.fit_fused(jax.random.PRNGKey(0), niter=4, batch_size=8,
+                    verbose=False, estimator="slt")
+
+
 def test_stl_fused_gate():
     if not advi_stl_fused_supported(32, 256, 8):
         pytest.skip("pallas TPU backend not importable")
