@@ -233,10 +233,10 @@ def advi_stl_fused_supported(b: int, d: int, steps_per_call: int = 1,
     the Newton/gradient temporaries) — 96.28 MB at D=1024, just over the
     96 MB scoped-VMEM cap (compile error observed on v5e).  The explicit D
     cap reflects the perf crossover: the tracked-inverse sweeps cost
-    2*sweeps (D, D) matmuls per step (O(D^3)); measured v5e throughput is
-    369k it/s at D=64 (5.3x the XLA STL path) but the growing cubic term
-    plus stiff replays already tie XLA at D=256 on ill-conditioned
-    targets, so above 512 the XLA path (panel solve, no tracking) wins."""
+    2*sweeps (D, D) matmuls per step (O(D^3)); measured v5e polish-regime
+    throughput vs the XLA STL path is 369k/70k at D=64, 135k/28k at 256,
+    21.4k/13.1k at 512 — still a 1.6x win at the cap, with the VMEM wall
+    (above) right behind it."""
     if not _HAS_PLTPU:
         return False
     if b < 2 or d > 512:
