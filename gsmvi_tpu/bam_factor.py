@@ -327,6 +327,29 @@ class FactorBaM:
 
         return step
 
+    def _make_audit_hook(self, batch_size: int, regf, tol: float):
+        """Build (and cache) the periodic fused-vs-SVD audit hook; no-op
+        (with a one-time warning) when this config never runs the fused
+        kernel."""
+        import warnings
+
+        from .utils.audit import make_audit_hook, make_bam_audit
+
+        if self._pallas_mode(batch_size) is None:
+            warnings.warn("audit_every set but the fused Pallas path is not "
+                          "active for this config; no audits will run",
+                          stacklevel=3)
+            self.audit_log = []
+            return None
+        audit_fn = self._runners.get(
+            ("audit", batch_size, self.ns_iters, self.ns_profile,
+             self.lmax_gate, self.gu_gate, self._interpret),
+            (regf, self.lp_g),
+            lambda: make_bam_audit(self.lp_g, batch_size, self.D, regf,
+                                   self._make_tiered_update(batch_size)))
+        self.audit_log = []
+        return make_audit_hook(audit_fn, self.audit_log, tol, "FactorBaM")
+
     def _make_fused_runner(self, batch_size: int, regf, retries: int,
                            interpret: bool = False):
         """Chunk runner on the whole-step multistep kernel (mode "step").
@@ -447,11 +470,18 @@ class FactorBaM:
 
     def fit(self, key, regf, mean=None, cov=None, batch_size=2, niter=5000,
             nprint=10, verbose=True, check_goodness=True, monitor=None,
-            retries=10, jitter=None, return_state=False, state=None):
+            retries=10, jitter=None, return_state=False, state=None,
+            audit_every=0, audit_tol=1e-3):
         """Signature parity with ``BaM.fit`` (reference ``gsmvi/bam.py:140``);
         ``regf`` must be a pure function of the iteration index.  ``jitter``
         is accepted for surface parity but inert: the factor route's
-        proposal is PD by construction (ops/bam_eps.py)."""
+        proposal is PD by construction (ops/bam_eps.py).
+
+        ``audit_every`` — when > 0 and the fused Pallas path is active,
+        periodically compare the (tiered) fused NS update against the exact
+        XLA thin-SVD path on a fresh stream-disjoint draw from the live
+        state (utils/audit.py); accepted non-stiff steps deviating beyond
+        ``audit_tol`` warn.  Records land in ``self.audit_log``."""
         dtype = self.dtype
         if state is None:
             mean0 = (jnp.zeros(self.D, dtype) if mean is None
@@ -482,6 +512,9 @@ class FactorBaM:
                      if mode == "step" else
                      make_chunk_runner(
                          self._make_step(batch_size, regf, retries))))
+        state_hook = None
+        if audit_every:
+            state_hook = self._make_audit_hook(batch_size, regf, audit_tol)
         state = run_fit_loop(
             None,  # cached run_chunk carries the body
             state,
@@ -493,6 +526,8 @@ class FactorBaM:
             verbose=verbose,
             batch_size=batch_size,
             run_chunk=run_chunk,
+            state_hook=state_hook,
+            state_hook_every=audit_every,
         )
         if return_state:
             return state

@@ -152,6 +152,8 @@ def run_fit_loop(
     use_scan: bool = True,
     run_chunk: Optional[Callable] = None,
     collect_aux: bool = False,
+    state_hook: Optional[Callable] = None,
+    state_hook_every: int = 0,
 ):
     """Run ``niter + 1`` update steps (reference iterates ``range(niter + 1)``,
     ``gsmvi/gsm.py:107``) with reference-parity monitor/print semantics.
@@ -173,6 +175,12 @@ def run_fit_loop(
     collect_aux    — when True, ``step`` returns ``(state, aux)`` and the loop
                      returns ``(state, aux)`` with per-step aux leaves
                      concatenated over all ``niter + 1`` steps (scan path only).
+    state_hook     — optional host-side callable ``hook(i, state)`` run on
+                     the LIVE state every ``state_hook_every`` iterations
+                     (i > 0; chunk boundaries align to the cadence).  Used
+                     by the fused fitters' ``audit_every`` (utils/audit.py);
+                     unlike ``monitor`` it sees the raw fitter state, not
+                     the (mean, cov) params.
 
     Returns the final state (or ``(state, aux)`` with ``collect_aux``).
     """
@@ -203,12 +211,15 @@ def run_fit_loop(
     # ZeroDivisionError when nprint > niter — clamped here like BaM does at
     # ``gsmvi/bam.py:177``).
     print_every = max(1, niter // min(nprint, max(niter, 1))) if (verbose and nprint) else 0
-    cadences = (checkpoint, print_every)
+    hook_every = state_hook_every if state_hook is not None else 0
+    cadences = (checkpoint, print_every, hook_every)
     aux_chunks = []
     i = 0
     while i < total:
         if print_every and i % print_every == 0:
             print(f"Iteration {i} of {niter}")
+        if hook_every and i % hook_every == 0 and i > 0:
+            state_hook(i, state)
         if monitor is not None and checkpoint and i % checkpoint == 0:
             monitor(i, monitor_params(state), lp, _monitor_key(state.key, i),
                     nevals=nevals)

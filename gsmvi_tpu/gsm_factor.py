@@ -227,6 +227,30 @@ class FactorGSM:
 
         return run_chunk
 
+    def _make_audit_hook(self, batch_size: int, tol: float):
+        """Build (and cache) the periodic fused-vs-exact audit hook; no-op
+        (with a one-time warning) when this config never runs the fused
+        kernel — there is nothing fused to audit then."""
+        import warnings
+
+        from .utils.audit import make_audit_hook, make_gsm_audit
+
+        if self._pallas_mode(batch_size) is None:
+            warnings.warn("audit_every set but the fused Pallas path is not "
+                          "active for this config; no audits will run",
+                          stacklevel=3)
+            self.audit_log = []
+            return None
+        audit_fn = self._runners.get(
+            ("audit", batch_size, self.ns_iters, self.pallas_precision,
+             self._interpret),
+            (self.lp_g,),
+            lambda: make_gsm_audit(self.lp_g, batch_size, self.D,
+                                   self.ns_iters, self.pallas_precision,
+                                   interpret=self._interpret))
+        self.audit_log = []
+        return make_audit_hook(audit_fn, self.audit_log, tol, "FactorGSM")
+
     def _make_step(self, batch_size: int, allow_pallas: bool = True):
         lp_g = self.lp_g
         d = self.D
@@ -369,11 +393,21 @@ class FactorGSM:
 
     def fit(self, key, mean=None, cov=None, batch_size=2, niter=5000,
             nprint=10, verbose=True, check_goodness=True, monitor=None,
-            return_state=False, state=None):
+            return_state=False, state=None, audit_every=0, audit_tol=1e-3):
         """Same contract as ``GSM.fit`` (reference ``gsmvi/gsm.py:79``).
 
         ``state`` — optional ``FactorVIState`` (from ``return_state=True``)
         resuming the exact trajectory, ignoring ``key``/``mean``/``cov``.
+
+        ``audit_every`` — when > 0 and the fused Pallas path is active, run
+        a periodic exact audit (utils/audit.py): every ``audit_every``
+        iterations one fresh draw is pushed through both the fused NS
+        update kernel and the exact XLA eps step from the LIVE state;
+        accepted-step deviations beyond ``audit_tol`` (relative, either
+        moment) raise a warning.  Records land in ``self.audit_log``.  The
+        audit draw is stream-disjoint from the fit, so trajectories are
+        unchanged.  This catches slow NS bias the in-kernel residual gates
+        cannot (they only catch catastrophic loss).
         """
         dtype = self.dtype
         if state is None:
@@ -398,6 +432,9 @@ class FactorGSM:
             raise TypeError(
                 "FactorGSM requires a jax-traceable lp_g; use GSM for "
                 "plain-numpy score functions")
+        state_hook = None
+        if audit_every:
+            state_hook = self._make_audit_hook(batch_size, audit_tol)
         state = run_fit_loop(
             None,  # cached run_chunk / eager_step below carries the body
             state,
@@ -409,6 +446,8 @@ class FactorGSM:
             verbose=verbose,
             batch_size=batch_size,
             run_chunk=self._get_runner(batch_size),
+            state_hook=state_hook,
+            state_hook_every=audit_every,
         )
         if return_state:
             return state
