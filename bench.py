@@ -330,6 +330,54 @@ def bench_matrix(targets):
     return results
 
 
+def audit_evidence(targets):
+    """Run-time exactness bound for the fused headline cells: a short
+    AUDITED fit (``fit(audit_every=...)``, utils/audit.py) recording the
+    max fused-vs-exact relative moment error over accepted audited steps —
+    evidence that the fused throughput numbers in the matrix are not buying
+    silent Newton-Schulz bias.  The shipped NS profiles audit at ~1e-6
+    (f32 working accuracy); anything near 1e-3 would warn."""
+    import jax
+
+    from gsmvi_tpu import FactorBaM, FactorGSM, Regularizers
+
+    if _remaining() < 120:
+        return None
+    t = targets[PRIMARY_D]
+    niter, every = (400, 100) if SMOKE else (4000, 1000)
+    out = {}
+
+    def summarize(log):
+        valid = [r for r in log if r["valid"]]
+        return {
+            "n_audits": len(log),
+            "n_valid": len(valid),
+            "max_rel_err": (max(max(r["mean_err"], r["cov_err"])
+                                for r in valid) if valid else None),
+        }
+
+    try:
+        g = FactorGSM(D=t.d, lp=t.lp, lp_g=t.lp_g,
+                      pallas_score=t.pallas_score)
+        g.fit(jax.random.PRNGKey(0), niter=niter, batch_size=B,
+              verbose=False, audit_every=every)
+        out["gsm_fused"] = summarize(g.audit_log)
+    except Exception as e:
+        out["gsm_fused"] = {"error": str(e)[:200]}
+    if _remaining() < 120:
+        return out
+    try:
+        b = FactorBaM(D=t.d, lp=t.lp, lp_g=t.lp_g,
+                      pallas_score=t.pallas_score)
+        b.fit(jax.random.PRNGKey(0), regf=Regularizers().linear(100.0),
+              niter=niter, batch_size=B, verbose=False, retries=0,
+              audit_every=every)
+        out["bam_fused"] = summarize(b.audit_log)
+    except Exception as e:
+        out["bam_fused"] = {"error": str(e)[:200]}
+    return out
+
+
 def time_reference_structure(t):
     """Reference loop shape: host sampling + per-iter dispatch + host check;
     median of 3 runs (the single-shot timing was load-noisy, VERDICT #7)."""
@@ -389,6 +437,7 @@ def main():
             "baseline_iters_per_s": round(base_ips, 2),
             "sentinel_quiet_ms": (round(_SENTINEL["quiet_ms"], 1)
                                   if _SENTINEL["quiet_ms"] else None),
+            "audit": audit_evidence(targets),
             "matrix": matrix}
     matrix_path = os.environ.get("BENCH_MATRIX_PATH") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_MATRIX.json")
