@@ -46,10 +46,11 @@ from .gsm_factor import FactorVIState
 from .ops.bam_eps import bam_eps_update
 from .ops.gsm_factor import factor_to_cov
 from .ops.pallas.bam_fused import (BAM_NS_ITERS_DEFAULT, BAM_NS_TIERS,
-                                   GU_GATE_DEFAULT, LMAX_GATE_DEFAULT,
-                                   bam_eps_update_fused, bam_fused_supported,
+                                   FEEDBACK_CADENCE, GU_GATE_DEFAULT,
+                                   LMAX_GATE_DEFAULT, bam_eps_update_fused,
+                                   bam_fused_supported,
                                    make_fused_bam_multistep,
-                                   ns_tier_thresholds)
+                                   ns_tier_from_stats)
 from .parallel.mesh import data_sharding
 
 
@@ -78,16 +79,21 @@ class FactorBaM:
         fused path draw eps per absolute step index (``fold_in(key, step)``)
         and are invariant to ``steps_per_call`` and chunk cadence.
 
-        ``ns_profile``: "auto" (default) runs the reg-adaptive NS LADDER
-        (bam_fused.BAM_NS_TIERS): as the schedule decays below each tier's
-        predicted-stiffness threshold, steps move to progressively shorter
-        (cheaper) Newton-Schulz chains whose own in-kernel gates certify
-        them — tier selection is a pure function of the step's reg (and
-        kernel blocks truncate at tier boundaries), so the trajectory-
-        invariance contract above is preserved, and a mis-predicted tier
-        can only trigger an SVD replay, never a biased accept.  "long" pins
-        every fused step to the single (ns_iters, lmax_gate, gu_gate)
-        profile (the pre-ladder behavior)."""
+        ``ns_profile``: "auto" (default) runs the MEASURED-FEEDBACK NS
+        LADDER (bam_fused.BAM_NS_TIERS): every fused kernel exports the two
+        gate statistics it already computes (gu_ub, lmax_ub), the fitter
+        carries the pair measured at the last multiple-of-
+        ``bam_fused.FEEDBACK_CADENCE`` absolute step (or at a stiff stop),
+        and each step runs the most benign tier whose gates those MEASURED
+        stats pass with margin.  Kernel blocks truncate at cadence
+        boundaries, and both update events are grouping-invariant, so the
+        trajectory-invariance contract above is preserved; a mis-predicted
+        window costs at most one cadence of SVD replays, never a biased
+        accept (each tier's own in-kernel gates still decide).  This
+        replaces the round-3 reg-only predictor, which was blind to the
+        D/target scaling of the lmax statistic and thrashed at D >= 512.
+        "long" pins every fused step to the single (ns_iters, lmax_gate,
+        gu_gate) profile (the pre-ladder behavior)."""
         self.D = D
         self.lp = lp
         self.lp_g = lp_g
@@ -145,47 +151,34 @@ class FactorBaM:
             return "step" if self.pallas_score is not None else "update"
         return None
 
-    def _ns_tiers(self, batch_size: int):
-        """The reg-adaptive NS ladder for this config: ``(tiers,
-        thresholds)`` with tiers = ((iters, gu_gate, lmax_gate), ...) from
-        stiffest (the configured long profile) to most benign, and
-        thresholds the descending reg values at which tiers 1.. engage
-        (bam_fused.ns_tier_thresholds).  Built-in benign tiers are pruned
-        to those whose gates sit BELOW the configured ones, so tightening
-        ``gu_gate``/``lmax_gate`` tightens the whole ladder.
-
-        ``ns_profile="auto"`` engages the ladder only for D <= 256: the
-        tier prediction is reg-only, but the Y-Gram statistic behind the
-        lmax gate grows with D (and the target's scale), so at D=512/1024
-        the benign tiers' gates trip on most steady-state steps and every
-        such step replays through the ~4-8x-costlier XLA SVD path —
-        measured v5e throughput REGRESSIONS of -11% at 512 and -3.2x at
-        1024 vs the single long profile (accuracy untouched; replays are
-        exact — the ladder's mispredictions cost only throughput, which
-        is exactly why this cutoff can be a blunt heuristic)."""
+    def _ns_tiers(self):
+        """The NS ladder for this config: ((iters, gu_gate, lmax_gate), ...)
+        from stiffest (the configured long profile) to most benign.
+        Built-in benign tiers are pruned to those whose gates sit BELOW the
+        configured ones, so tightening ``gu_gate``/``lmax_gate`` tightens
+        the whole ladder.  Tier selection is by MEASURED feedback
+        (bam_fused.ns_tier_from_stats on the carried state.ns_stats), which
+        works at every D — the retired reg-only predictor
+        (bam_fused.ns_tier_thresholds) mispredicted the D/target-scaled
+        lmax statistic and thrashed at D >= 512 (-11% @512, -3.2x @1024 on
+        v5e)."""
         tier0 = (self.ns_iters, self.gu_gate, self.lmax_gate)
-        if self.ns_profile == "long" or self.D > 256:
-            return (tier0,), ()
+        if self.ns_profile == "long":
+            return (tier0,)
         lower = tuple(t for t in BAM_NS_TIERS[1:]
                       if t[1] <= self.gu_gate and t[2] <= self.lmax_gate)
-        thresholds = ns_tier_thresholds(batch_size, self.D,
-                                        tiers=(tier0, *lower))
-        return (tier0, *lower), thresholds
+        return (tier0, *lower)
 
     def _make_tiered_update(self, batch_size: int):
         """A drop-in for ``bam_eps_update_fused`` that lax.switches among
-        the ladder's single-step kernels by the step's (traced) reg.  The
-        selected tier's own in-kernel gates still decide ``stiff``."""
-        tiers, thresholds = self._ns_tiers(batch_size)
+        the ladder's single-step kernels by the CARRIED measured stats
+        (feedback ladder).  The selected tier's own in-kernel gates still
+        decide ``stiff``.  Returns ``update(eps, vs, mean, f, reg,
+        ns_stats) -> (mu, f, good, stiff, kernel_stats)``."""
+        tiers = self._ns_tiers()
         interp = self._interpret
 
-        def tier_index(reg):
-            t = jnp.zeros((), jnp.int32)
-            for th in thresholds:
-                t = t + (reg < th).astype(jnp.int32)
-            return t
-
-        def update(eps, vs, mean, f, reg):
+        def update(eps, vs, mean, f, reg, ns_stats):
             if len(tiers) == 1:
                 it, gg, lm = tiers[0]
                 return bam_eps_update_fused(eps, vs, mean, f, reg,
@@ -197,8 +190,8 @@ class FactorBaM:
                                       lmax_gate=lm, gu_gate=gg,
                                       interpret=interp))
                 for (it, gg, lm) in tiers]
-            return jax.lax.switch(tier_index(reg), branches,
-                                  eps, vs, mean, f, reg)
+            tj = ns_tier_from_stats(ns_stats[0], ns_stats[1], tiers)
+            return jax.lax.switch(tj, branches, eps, vs, mean, f, reg)
 
         return update
 
@@ -227,7 +220,18 @@ class FactorBaM:
                 reg = jnp.asarray(regf(state.step), dtype)
                 mean_new, f_new, good = bam_eps_update(
                     eps, vs, state.mean, state.factor, reg, solver=solver)
-                return key, mean_new.astype(dtype), f_new.astype(dtype), good
+                return (key, mean_new.astype(dtype), f_new.astype(dtype),
+                        good, state.ns_stats)
+
+        def carried_stats(state, stiff, kstats):
+            """Feedback-ladder carry rule (grouping-invariant, see
+            bam_fused.FEEDBACK_CADENCE): adopt the kernel's measured stats
+            when this step sits just before a cadence boundary, or
+            immediately on a stiff flag (the stats are then large and the
+            next window correctly starts stiffer)."""
+            upd = ((state.step + 1) % FEEDBACK_CADENCE == 0) | stiff
+            return jnp.where(upd, kstats.astype(jnp.float32),
+                             state.ns_stats)
 
         if mode == "update" and self.mesh is not None:
             # Mesh-composed fused BaM step: per-shard scores, one all_gather
@@ -237,9 +241,10 @@ class FactorBaM:
 
             tiered_update = self._make_tiered_update(batch_size)
 
-            def fused_then_replay(eps_full, vs_full, mean, f, reg):
-                mu_p, f_p, good, stiff = tiered_update(
-                    eps_full, vs_full, mean, f, reg)
+            def fused_then_replay(eps_full, vs_full, mean, f, reg,
+                                  ns_stats):
+                mu_p, f_p, good, stiff, kstats = tiered_update(
+                    eps_full, vs_full, mean, f, reg, ns_stats)
 
                 def svd_branch(_):
                     mu_s, f_s, good_s = bam_eps_update(
@@ -247,20 +252,22 @@ class FactorBaM:
                     return (mu_s.astype(jnp.float32),
                             f_s.astype(jnp.float32), good_s)
 
-                return jax.lax.cond(stiff, svd_branch,
-                                    lambda _: (mu_p, f_p, good), None)
+                mu_p, f_p, good = jax.lax.cond(
+                    stiff, svd_branch, lambda _: (mu_p, f_p, good), None)
+                return mu_p, f_p, good, stiff, kstats
 
             gathered_attempt = make_gathered_update(
                 self.mesh, self.data_axis, lp_g, fused_then_replay,
-                n_extra=1)
+                n_extra=2, n_out=5)
 
             def fused_attempt(key, state):
                 key, key_sample = jax.random.split(key)
                 eps = jax.random.normal(key_sample, (batch_size, d), dtype)
                 reg = jnp.asarray(regf(state.step), jnp.float32)
-                mu_p, f_p, good = gathered_attempt(eps, state.mean,
-                                                   state.factor, reg)
-                return key, mu_p, f_p, good
+                mu_p, f_p, good, stiff, kstats = gathered_attempt(
+                    eps, state.mean, state.factor, reg, state.ns_stats)
+                return (key, mu_p, f_p, good,
+                        carried_stats(state, stiff, kstats))
 
             first_attempt = fused_attempt
         elif mode == "update":
@@ -280,8 +287,9 @@ class FactorBaM:
                     # (user lp_g may emit f64 under global x64).
                     vs = lp_g(samples).astype(jnp.float32)
                     reg = jnp.asarray(regf(state.step), dtype)
-                    mu_p, f_p, good, stiff = tiered_update(
-                        eps, vs, state.mean, state.factor, reg)
+                    mu_p, f_p, good, stiff, kstats = tiered_update(
+                        eps, vs, state.mean, state.factor, reg,
+                        state.ns_stats)
 
                     def svd_branch(_):
                         mu_s, f_s, good_s = bam_eps_update(
@@ -293,14 +301,16 @@ class FactorBaM:
                     mu_p, f_p, good = jax.lax.cond(
                         stiff, svd_branch,
                         lambda _: (mu_p, f_p, good), None)
-                    return key, mu_p, f_p, good
+                    return (key, mu_p, f_p, good,
+                            carried_stats(state, stiff, kstats))
 
             first_attempt = fused_attempt
         else:
             first_attempt = attempt
 
         def step(state: FactorVIState) -> FactorVIState:
-            key, mean_new, f_new, good = first_attempt(state.key, state)
+            key, mean_new, f_new, good, ns_stats = first_attempt(state.key,
+                                                                 state)
 
             if retries > 0:
                 # Reference semantics: resample within the same iteration on
@@ -311,7 +321,7 @@ class FactorBaM:
 
                 def body(carry):
                     key, _, _, _, tries = carry
-                    key, mean_new, f_new, good = attempt(key, state)
+                    key, mean_new, f_new, good, _ = attempt(key, state)
                     return key, mean_new, f_new, good, tries + 1
 
                 key, mean_new, f_new, good, _ = jax.lax.while_loop(
@@ -323,7 +333,8 @@ class FactorBaM:
             f = jnp.where(good, f_new, state.factor)
             return FactorVIState(mean, f, state.finv, key, state.step + 1,
                                  state.n_accepted + g32,
-                                 state.n_rejected + (1 - g32))
+                                 state.n_rejected + (1 - g32),
+                                 ns_stats)
 
         return step
 
@@ -366,7 +377,7 @@ class FactorBaM:
         d = self.D
         lp_g = self.lp_g
         solver = self.solver
-        tiers, thresholds = self._ns_tiers(batch_size)
+        tiers = self._ns_tiers()
         multis = [make_fused_bam_multistep(
             score_fn, len(params), batch_size, d, spc, iters=it,
             lmax_gate=lm, gu_gate=gg,
@@ -374,23 +385,23 @@ class FactorBaM:
             for (it, gg, lm) in tiers]
         stop_on_reject = 1 if retries > 0 else 0
 
-        def run_multi_block(regs, nmax, eps_block, mean, f):
-            """Run one kernel block on the reg-selected NS tier; the block
-            additionally truncates at the next tier boundary so every
-            absolute step runs the tier of ITS OWN reg — which keeps the
-            trajectory invariant to spc/chunk grouping."""
+        def run_multi_block(step0, ns_stats, regs, nmax, eps_block,
+                            mean, f):
+            """Run one kernel block on the FEEDBACK-selected NS tier
+            (bam_fused.ns_tier_from_stats on the carried measured stats).
+            The block truncates at the next feedback-cadence boundary so
+            the boundary step's stats are always exported by some block —
+            which keeps the trajectory invariant to spc/chunk grouping."""
             if len(multis) == 1:
                 return multis[0](regs, nmax, stop_on_reject, eps_block,
                                  mean, f, *params)
-            tj = jnp.zeros(regs.shape, jnp.int32)
-            for th in thresholds:
-                tj = tj + (regs < th).astype(jnp.int32)
-            run_len = jnp.sum(jnp.cumprod((tj == tj[0]).astype(jnp.int32)))
+            run_len = FEEDBACK_CADENCE - (step0 % FEEDBACK_CADENCE)
             nmax = jnp.minimum(nmax, run_len.astype(jnp.int32))
             branches = [(lambda r, n, e, m, ff, mu=mu: mu(
                 r, n, stop_on_reject, e, m, ff, *params))
                 for mu in multis]
-            return jax.lax.switch(tj[0], branches, regs, nmax, eps_block,
+            tj = ns_tier_from_stats(ns_stats[0], ns_stats[1], tiers)
+            return jax.lax.switch(tj, branches, regs, nmax, eps_block,
                                   mean, f)
 
         @partial(jax.jit, static_argnums=1)
@@ -409,12 +420,21 @@ class FactorBaM:
                 eps_block = jax.vmap(eps_for)(steps)
                 nmax = jnp.minimum(jnp.int32(spc),
                                    jnp.int32(k) - (state.step - step0))
-                mu, f, n_done, n_acc, stopped = run_multi_block(
-                    regs, nmax, eps_block, state.mean, state.factor)
+                mu, f, n_done, n_acc, stopped, kstats = run_multi_block(
+                    state.step, state.ns_stats, regs, nmax, eps_block,
+                    state.mean, state.factor)
+                end = state.step + n_done
+                # Feedback carry: adopt the block's measured stats when it
+                # ends exactly at a cadence boundary (its last consumed
+                # step is then the boundary-1 step in EVERY spc/chunk
+                # grouping) or on a stiff stop (also grouping-invariant).
+                upd = (((end % FEEDBACK_CADENCE == 0) & (n_done > 0))
+                       | (stopped == 1))
+                ns_stats = jnp.where(upd, kstats, state.ns_stats)
                 state = FactorVIState(
-                    mu, f, state.finv, key, state.step + n_done,
+                    mu, f, state.finv, key, end,
                     state.n_accepted + n_acc,
-                    state.n_rejected + (n_done - n_acc))
+                    state.n_rejected + (n_done - n_acc), ns_stats)
 
                 def replay(s):
                     with jax.default_matmul_precision("float32"):
@@ -459,7 +479,8 @@ class FactorBaM:
                             jnp.where(good, mu_n, s.mean),
                             jnp.where(good, f_n, s.factor),
                             s.finv, key, s.step + 1,
-                            s.n_accepted + g32, s.n_rejected + (1 - g32))
+                            s.n_accepted + g32, s.n_rejected + (1 - g32),
+                            s.ns_stats)
 
                 return jax.lax.cond(stopped > 0, replay, lambda s: s, state)
 

@@ -20,6 +20,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .distributions import safe_cholesky
 from .driver import RunnerCache, is_traceable, make_chunk_runner, \
@@ -34,6 +35,12 @@ from .ops.pallas.fused_step import (NS_ITERS_DEFAULT, fused_supported,
 from .parallel.mesh import data_sharding
 
 
+# Cold-start sentinel for the feedback NS ladder's carried statistics
+# (ops/pallas/bam_fused.py): inf fails every benign gate -> long profile.
+# A plain numpy constant so importing this module never touches a backend.
+_NS_STATS0 = np.full((2,), np.inf, dtype=np.float32)
+
+
 class FactorVIState(NamedTuple):
     mean: jax.Array     # (D,)
     factor: jax.Array   # (D, D), S = factor @ factor.T
@@ -42,6 +49,10 @@ class FactorVIState(NamedTuple):
     step: jax.Array
     n_accepted: jax.Array
     n_rejected: jax.Array
+    # (gu_ub, lmax_ub) measured at the last feedback-cadence boundary (or
+    # stiff stop) — drives FactorBaM's measured-feedback NS ladder; unused
+    # (and reset each step, harmlessly) by the GSM family's constructors.
+    ns_stats: jax.Array = _NS_STATS0
 
     # Duck-typed accessors so monitors/checkpoint helpers written for VIState
     # largely work; cov is materialized on demand.

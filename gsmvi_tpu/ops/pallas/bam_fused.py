@@ -111,6 +111,47 @@ BAM_NS_TIERS = (
     ((5, 4, 6, 4, 3), 3.0, 12.0),
 )
 
+# Measured-feedback ladder (round 3): tier selection from the kernels' OWN
+# exported gate statistics instead of a reg-only prediction.  The reg model
+# predicts gu well (reg-scaled by construction) but the lmax statistic of
+# the Y-Gram is D- and target-scaled: at D=512/1024 it sits 2-4x above the
+# benign tiers' gates at the reg-predicted engagement points, so every step
+# gate-trips into the ~4-8x-costlier XLA SVD replay (measured -11% @512,
+# -3.2x @1024 vs the long profile).  Measured on the bench target, the
+# steady-state stats DO pass tier 2 from ~step 600 and tier 3 late-fit at
+# all of D=256/512/1024 (.scratch/stat_probe.py, 2026-08-18) — the ladder
+# win exists at large D, the predictor was just blind to it.
+#
+# Contract (trajectory-invariance-preserving): the carried statistic updates
+# only at ABSOLUTE step indices that are multiples of FEEDBACK_CADENCE
+# (kernel blocks truncate there, so the boundary step's stats are always
+# exported regardless of steps_per_call / chunk grouping) and at stiff
+# stops (also grouping-invariant: a stiff step stops every grouping's block
+# at the same absolute index with the same state).  Tier selection is then
+# a pure function of the carried stats, so the whole trajectory stays
+# invariant to spc / chunk cadence — the same contract the reg ladder had.
+# A mis-predicted window costs at most FEEDBACK_CADENCE replayed steps of
+# throughput (the per-tier in-kernel gates remain the accuracy authority).
+FEEDBACK_CADENCE = 64
+FEEDBACK_MARGIN = 0.7
+# Cold-start / post-stiff sentinel: fails every benign gate -> tier 0.
+NS_STATS_INIT = (jnp.inf, jnp.inf)
+
+
+def ns_tier_from_stats(gu_ub, lmax_ub, tiers=BAM_NS_TIERS,
+                       margin: float = FEEDBACK_MARGIN):
+    """Most benign tier index whose gates the MEASURED stats pass with
+    ``margin`` headroom (gates decrease monotonically along the ladder, so
+    passing is prefix-monotone and the index is a simple count).  inf stats
+    (cold start) select tier 0, the configured long profile."""
+    gu_ub = jnp.asarray(gu_ub, jnp.float32)
+    lmax_ub = jnp.asarray(lmax_ub, jnp.float32)
+    idx = jnp.zeros((), jnp.int32)
+    for (_, gg, lm) in tiers[1:]:
+        ok = (gu_ub < margin * gg) & (lmax_ub < margin * lm)
+        idx = idx + ok.astype(jnp.int32)
+    return idx
+
 
 def predicted_gu_coeff(b: int, d: int) -> float:
     """gu_ub ~ coeff * reg for standard-normal draws: the row-sum norm of
@@ -123,10 +164,11 @@ def predicted_gu_coeff(b: int, d: int) -> float:
 
 def ns_tier_thresholds(b: int, d: int, tiers=BAM_NS_TIERS,
                        margin: float = 0.8):
-    """reg thresholds (descending) at which tiers 1.. engage: tier j is
-    predicted non-stiff when reg < margin * gu_gate_j / c(B, D).  The 0.8
-    margin absorbs draw-to-draw gu fluctuation so in-kernel gate trips (and
-    their SVD replays) stay rare at tier boundaries."""
+    """LEGACY reg-only tier predictor (diagnostic use only — selection now
+    runs on measured feedback, ns_tier_from_stats): reg thresholds
+    (descending) at which tiers 1.. engage, tier j predicted non-stiff when
+    reg < margin * gu_gate_j / c(B, D).  Blind to the D/target scaling of
+    the lmax statistic, which is why it thrashed at D >= 512."""
     c = predicted_gu_coeff(b, d)
     return tuple(margin * gu / c for (_, gu, _) in tiers[1:])
 
@@ -163,10 +205,13 @@ def _bam_smallspace_ns(e, v, mu, f, reg, *, batch: int,
 
     Inputs: ``e`` (B, D) standard-normal draws, ``v`` (B, D) scores at
     ``mu + e @ f.T``, ``mu`` (1, D), ``f`` (D, D), ``reg`` scalar (traced).
-    Returns ``(mu_new (1,D), f_new (D,D), good, stiff)`` — ``stiff`` means
-    the Gram gate tripped and the caller must NOT trust (and should replay)
-    this step; ``good`` is the accept flag for the non-stiff case (NS
-    residual + trace-monotonicity screens, as the XLA path).
+    Returns ``(mu_new (1,D), f_new (D,D), good, stiff, gu_ub, lmax_ub)`` —
+    ``stiff`` means the Gram gate tripped and the caller must NOT trust
+    (and should replay) this step; ``good`` is the accept flag for the
+    non-stiff case (NS residual + trace-monotonicity screens, as the XLA
+    path); ``gu_ub``/``lmax_ub`` are the two measured gate statistics (the
+    row-sum norms of the cu and tau chains' Grams), exported so the fitter
+    can drive the measured-feedback NS ladder (ns_tier_from_stats).
 
     ``big_prec`` relaxes only the O(B D^2) matmuls; all (k, k) small-space
     numerics stay at HIGHEST (their accuracy is what the gates certify).
@@ -260,7 +305,7 @@ def _bam_smallspace_ns(e, v, mu, f, reg, *, batch: int,
     s_gbar = mm_t(t1, f_new, bp)                           # (1, D)
     xbar = mu + mm_t(epsbar, f, bp)
     mu_new = mu / (1.0 + reg) + r1 * (s_gbar + xbar)
-    return mu_new, f_new, good, stiff
+    return mu_new, f_new, good, stiff, gu_ub, lmax_ub
 
 
 def bam_fused_supported(b: int, d: int, steps_per_call: int = 1,
@@ -282,9 +327,9 @@ def bam_fused_supported(b: int, d: int, steps_per_call: int = 1,
 
 
 def _update_kernel(reg_ref, eps_ref, vs_ref, mu_ref, f_ref,
-                   mu_out, f_out, flags_out, *, batch: int, iters,
-                   lmax_gate: float, gu_gate: float, big_prec):
-    mu_new, f_new, good, stiff = _bam_smallspace_ns(
+                   mu_out, f_out, flags_out, stats_out, *, batch: int,
+                   iters, lmax_gate: float, gu_gate: float, big_prec):
+    mu_new, f_new, good, stiff, gu_ub, lmax_ub = _bam_smallspace_ns(
         eps_ref[:], vs_ref[:], mu_ref[:], f_ref[:], reg_ref[0],
         batch=batch, iters=iters, lmax_gate=lmax_gate, gu_gate=gu_gate,
         big_prec=big_prec)
@@ -293,6 +338,8 @@ def _update_kernel(reg_ref, eps_ref, vs_ref, mu_ref, f_ref,
     f_out[:] = jnp.where(keep, f_new, f_ref[:])
     flags_out[0, 0] = keep.astype(jnp.int32)
     flags_out[0, 1] = stiff.astype(jnp.int32)
+    stats_out[0, 0] = gu_ub
+    stats_out[0, 1] = lmax_ub
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "iters",
@@ -306,10 +353,11 @@ def bam_eps_update_fused(eps, vs, mean, f, reg, interpret: bool = False,
     """Fused BaM factor update + validity + select, one Pallas call.
 
     Drop-in for the accept half of ops/bam_eps.py: returns
-    ``(mean, f, good, stiff)`` with the old state already selected back
-    unless the proposal is both good and non-stiff.  ``stiff`` tells the
-    caller to redo this step on the XLA SVD path (same eps for exact
-    semantics).  f32 only.
+    ``(mean, f, good, stiff, ns_stats)`` with the old state already selected
+    back unless the proposal is both good and non-stiff.  ``stiff`` tells
+    the caller to redo this step on the XLA SVD path (same eps for exact
+    semantics); ``ns_stats`` is the measured ``(gu_ub, lmax_ub)`` pair
+    (shape (2,), f32) feeding the feedback NS ladder.  f32 only.
     """
     b, d = eps.shape
     dtype = jnp.float32
@@ -324,21 +372,22 @@ def bam_eps_update_fused(eps, vs, mean, f, reg, interpret: bool = False,
                                big_prec=big_prec)
     smem = (dict(memory_space=pltpu.SMEM) if _HAS_PLTPU else {})
     vmem = (dict(memory_space=pltpu.VMEM) if _HAS_PLTPU else {})
-    mu_new, f_new, flags = pl.pallas_call(
+    mu_new, f_new, flags, stats = pl.pallas_call(
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct((1, d), dtype),
             jax.ShapeDtypeStruct((d, d), dtype),
             jax.ShapeDtypeStruct((1, 2), jnp.int32),
+            jax.ShapeDtypeStruct((1, 2), jnp.float32),
         ),
         in_specs=[pl.BlockSpec(**smem)] + [pl.BlockSpec(**vmem)] * 4,
         out_specs=(pl.BlockSpec(**vmem), pl.BlockSpec(**vmem),
-                   pl.BlockSpec(**smem)),
+                   pl.BlockSpec(**smem), pl.BlockSpec(**smem)),
         interpret=interpret,
         **({"compiler_params": _compiler_params(interpret)}
            if _compiler_params(interpret) else {}),
     )(reg, eps, vs, mu2, f)
-    return mu_new[0], f_new, flags[0, 0] > 0, flags[0, 1] > 0
+    return mu_new[0], f_new, flags[0, 0] > 0, flags[0, 1] > 0, stats[0]
 
 
 def make_fused_bam_multistep(score_fn, n_params: int, batch: int, d: int,
@@ -361,10 +410,13 @@ def make_fused_bam_multistep(score_fn, n_params: int, batch: int, d: int,
     gate) or — when ``stop_on_reject`` is set at call time via ``nmax`` —
     not accepted, then freezes.  Returns
     ``step(regs, nmax, stop_on_reject, eps_block, mean, f, *params) ->
-    (mean, f, n_done, n_acc, stopped_kind)`` where ``n_done`` counts
-    consumed sub-steps, ``n_acc`` accepted ones among them, and
+    (mean, f, n_done, n_acc, stopped_kind, ns_stats)`` where ``n_done``
+    counts consumed sub-steps, ``n_acc`` accepted ones among them,
     ``stopped_kind`` is 0 (ran to nmax), 1 (stiff), 2 (PD-reject with
-    stop_on_reject).  The caller loops/replays to advance exactly its chunk.
+    stop_on_reject), and ``ns_stats`` is the (gu_ub, lmax_ub) pair of the
+    LAST ATTEMPTED sub-step (the stopping one on a stiff/reject stop, the
+    last consumed one otherwise) — the measurement behind the feedback NS
+    ladder.  The caller loops/replays to advance exactly its chunk.
     """
     if not _HAS_PLTPU and not interpret:
         raise RuntimeError("fused BaM multistep requires TPU pallas")
@@ -372,12 +424,12 @@ def make_fused_bam_multistep(score_fn, n_params: int, batch: int, d: int,
 
     def kernel(regs_ref, nmax_ref, sor_ref, eps_ref, mu_ref, f_ref, *rest):
         params = [p[:] for p in rest[:n_params]]
-        mu_out, f_out, stats_out = rest[n_params:]
+        mu_out, f_out, stats_out, ns_out = rest[n_params:]
         nmax = nmax_ref[0]
         stop_on_reject = sor_ref[0] > 0
 
         def body(j, carry):
-            mu, f, n_done, n_acc, stopped = carry
+            mu, f, n_done, n_acc, stopped, gu_last, lm_last = carry
             active = (j < nmax) & (stopped == 0)
             e = eps_ref[pl.ds(j * batch, batch), :]
             x = mu + jax.lax.dot_general(
@@ -385,7 +437,7 @@ def make_fused_bam_multistep(score_fn, n_params: int, batch: int, d: int,
                 preferred_element_type=jnp.float32,
                 precision=_HI if big_prec is None else big_prec)
             v = score_fn(x, *params)
-            mu_new, f_new, good, stiff = _bam_smallspace_ns(
+            mu_new, f_new, good, stiff, gu_ub, lmax_ub = _bam_smallspace_ns(
                 e, v, mu, f, regs_ref[j], batch=batch, iters=iters,
                 lmax_gate=lmax_gate, gu_gate=gu_gate, big_prec=big_prec)
             stop_now = active & (stiff | (stop_on_reject & ~good))
@@ -393,22 +445,28 @@ def make_fused_bam_multistep(score_fn, n_params: int, batch: int, d: int,
             accept = consume & good
             mu = jnp.where(accept, mu_new, mu)
             f = jnp.where(accept, f_new, f)
+            # Stats of the last ATTEMPTED sub-step: frozen once stopped.
+            gu_last = jnp.where(active, gu_ub, gu_last)
+            lm_last = jnp.where(active, lmax_ub, lm_last)
             n_done = n_done + consume.astype(jnp.int32)
             n_acc = n_acc + accept.astype(jnp.int32)
             stopped = jnp.where(
                 stop_now,
                 jnp.where(stiff, jnp.int32(1), jnp.int32(2)),
                 stopped)
-            return mu, f, n_done, n_acc, stopped
+            return mu, f, n_done, n_acc, stopped, gu_last, lm_last
 
         zero = jnp.zeros((), jnp.int32)
-        mu, f, n_done, n_acc, stopped = jax.lax.fori_loop(
-            0, spc, body, (mu_ref[:], f_ref[:], zero, zero, zero))
+        inf = jnp.full((), jnp.inf, jnp.float32)
+        mu, f, n_done, n_acc, stopped, gu_last, lm_last = jax.lax.fori_loop(
+            0, spc, body, (mu_ref[:], f_ref[:], zero, zero, zero, inf, inf))
         mu_out[:] = mu
         f_out[:] = f
         stats_out[0, 0] = n_done
         stats_out[0, 1] = n_acc
         stats_out[0, 2] = stopped
+        ns_out[0, 0] = gu_last
+        ns_out[0, 1] = lm_last
 
     smem = (dict(memory_space=pltpu.SMEM) if _HAS_PLTPU else {})
     vmem = (dict(memory_space=pltpu.VMEM) if _HAS_PLTPU else {})
@@ -420,22 +478,24 @@ def make_fused_bam_multistep(score_fn, n_params: int, batch: int, d: int,
         nmax = jnp.asarray(nmax, jnp.int32).reshape(1)
         sor = jnp.asarray(stop_on_reject, jnp.int32).reshape(1)
         eps_block = eps_block.astype(jnp.float32).reshape(spc * batch, d)
-        mu_new, f_new, stats = pl.pallas_call(
+        mu_new, f_new, stats, ns_stats = pl.pallas_call(
             kernel,
             out_shape=(
                 jax.ShapeDtypeStruct((1, d), jnp.float32),
                 jax.ShapeDtypeStruct((d, d), jnp.float32),
                 jax.ShapeDtypeStruct((1, 3), jnp.int32),
+                jax.ShapeDtypeStruct((1, 2), jnp.float32),
             ),
             in_specs=[pl.BlockSpec(**smem)] * 3
             + [pl.BlockSpec(**vmem)] * (3 + n_params),
             out_specs=(pl.BlockSpec(**vmem), pl.BlockSpec(**vmem),
-                       pl.BlockSpec(**smem)),
+                       pl.BlockSpec(**smem), pl.BlockSpec(**smem)),
             interpret=interpret,
             **({"compiler_params": _compiler_params(interpret)}
                if _compiler_params(interpret) else {}),
         )(regs, nmax, sor, eps_block, mu2, f.astype(jnp.float32),
           *[p.astype(jnp.float32) for p in params])
-        return (mu_new[0], f_new, stats[0, 0], stats[0, 1], stats[0, 2])
+        return (mu_new[0], f_new, stats[0, 0], stats[0, 1], stats[0, 2],
+                ns_stats[0])
 
     return step

@@ -101,10 +101,13 @@ def make_bam_audit(lp_g, batch_size: int, d: int, regf, fused_update):
     (possibly NS-ladder-tiered) fused BaM update against the exact XLA
     thin-SVD path at the step's own regularizer.
 
-    ``fused_update(eps, vs, mean, f, reg) -> (mean, f, good, stiff)`` —
-    the fitter's tiered kernel.  Stiff-flagged steps are vacuous (the real
-    fit replays them through the SVD path with the same draw, so they
-    carry no fused bias): ``valid`` is False and errors report 0.
+    ``fused_update(eps, vs, mean, f, reg, ns_stats) -> (mean, f, good,
+    stiff, kernel_stats)`` — the fitter's tiered kernel, selecting its NS
+    tier from the live state's carried feedback stats, so the audit
+    exercises the exact tier the fit runs at that step.  Stiff-flagged
+    steps are vacuous (the real fit replays them through the SVD path with
+    the same draw, so they carry no fused bias): ``valid`` is False and
+    errors report 0.
     """
     from ..ops.bam_eps import bam_eps_update
 
@@ -116,8 +119,8 @@ def make_bam_audit(lp_g, batch_size: int, d: int, regf, fused_update):
             samples = state.mean + eps @ state.factor.T
             vs = lp_g(samples).astype(jnp.float32)
             reg = jnp.asarray(regf(state.step), jnp.float32)
-            m_f, f_f, good_f, stiff = fused_update(eps, vs, state.mean,
-                                                   state.factor, reg)
+            m_f, f_f, good_f, stiff, _ = fused_update(
+                eps, vs, state.mean, state.factor, reg, state.ns_stats)
             # The accuracy gold: thin SVD resolves the small-space spectrum
             # at additive eps*smax (ops/bam_eps.py), independent of the
             # fitter's routed solver.

@@ -26,7 +26,7 @@ from ..state import VIState
 
 _FIELDS = ("mean", "cov", "chol", "key", "step", "n_accepted", "n_rejected")
 _FACTOR_FIELDS = ("mean", "factor", "finv", "key", "step", "n_accepted",
-                  "n_rejected")
+                  "n_rejected", "ns_stats")
 
 
 def save_state(path: str, state) -> None:
@@ -61,6 +61,11 @@ def load_state(path: str):
         if "_factor_state" in data:
             from ..gsm_factor import FactorVIState
 
+            kw = {}
+            if "ns_stats" in data:  # absent in pre-round-3 checkpoints:
+                # the field default (inf) resumes at the long NS profile,
+                # re-measuring within one feedback cadence — conservative.
+                kw["ns_stats"] = jnp.asarray(data["ns_stats"])
             return FactorVIState(
                 mean=jnp.asarray(data["mean"]),
                 factor=jnp.asarray(data["factor"]),
@@ -69,6 +74,7 @@ def load_state(path: str):
                 step=jnp.asarray(data["step"]),
                 n_accepted=jnp.asarray(data["n_accepted"]),
                 n_rejected=jnp.asarray(data["n_rejected"]),
+                **kw,
             )
         return VIState(
             mean=jnp.asarray(data["mean"]),

@@ -30,7 +30,7 @@ def test_ns_core_matches_svd_path(rng, reg, b, d):
     both compute the SAME factor F W1 (I + Ytil w Ytil^T)."""
     e, v, mu, f = _benign_inputs(rng, b, d)
     m_ref, f_ref, good_ref = bam_eps_update(e, v, mu, f, reg, solver="svd")
-    m_ns, f_ns, good, stiff = _bam_smallspace_ns(
+    m_ns, f_ns, good, stiff, *_ = _bam_smallspace_ns(
         e, v, mu.reshape(1, d), f, reg, batch=b)
     assert not bool(stiff)
     assert bool(good) and bool(good_ref)
@@ -76,12 +76,12 @@ def test_stiff_gate_trips_on_large_gram(rng):
     would bias the fit exactly like the eigh solver's mean stall)."""
     b, d = 32, 64
     e, v, mu, f = _benign_inputs(rng, b, d, score_scale=300.0)
-    _, _, _, stiff = _bam_smallspace_ns(e, v, mu.reshape(1, d), f, 20.0,
+    _, _, _, stiff, *_ = _bam_smallspace_ns(e, v, mu.reshape(1, d), f, 20.0,
                                         batch=b)
     assert bool(stiff)
     # And the same inputs with an infinite gate confirm the statistic is
     # what trips it (not a residual failure).
-    _, _, good, stiff_inf = _bam_smallspace_ns(
+    _, _, good, stiff_inf, *_ = _bam_smallspace_ns(
         e, v, mu.reshape(1, d), f, 20.0, batch=b, lmax_gate=float("inf"))
     assert not bool(stiff_inf)
 
@@ -90,9 +90,9 @@ def test_fused_update_kernel_interpret_matches_core(rng):
     b, d = 8, 32
     e, v, mu, f = _benign_inputs(rng, b, d)
     reg = 1.5
-    m_k, f_k, good_k, stiff_k = bam_eps_update_fused(e, v, mu, f, reg,
+    m_k, f_k, good_k, stiff_k, *_ = bam_eps_update_fused(e, v, mu, f, reg,
                                                      interpret=True)
-    m_c, f_c, good_c, stiff_c = _bam_smallspace_ns(
+    m_c, f_c, good_c, stiff_c, *_ = _bam_smallspace_ns(
         e, v, mu.reshape(1, d), f, reg, batch=b)
     assert bool(good_k) == bool(good_c)
     assert bool(stiff_k) == bool(stiff_c)
@@ -105,7 +105,7 @@ def test_fused_update_kernel_interpret_matches_core(rng):
 def test_fused_update_selects_old_state_when_stiff(rng):
     b, d = 32, 64
     e, v, mu, f = _benign_inputs(rng, b, d, score_scale=300.0)
-    m_k, f_k, good_k, stiff_k = bam_eps_update_fused(e, v, mu, f, 20.0,
+    m_k, f_k, good_k, stiff_k, *_ = bam_eps_update_fused(e, v, mu, f, 20.0,
                                                      interpret=True)
     assert bool(stiff_k)
     np.testing.assert_array_equal(np.asarray(m_k), np.asarray(mu))
@@ -129,7 +129,7 @@ def test_multistep_kernel_matches_sequential_core(rng):
 
     multi = make_fused_bam_multistep(score_fn, len(params), b, d, spc,
                                      interpret=True)
-    m_k, f_k, n_done, n_acc, stopped = multi(regs, spc, 0, eps_block, mu, f,
+    m_k, f_k, n_done, n_acc, stopped, *_ = multi(regs, spc, 0, eps_block, mu, f,
                                              *params)
     assert int(n_done) == spc
     assert int(stopped) == 0
@@ -139,7 +139,7 @@ def test_multistep_kernel_matches_sequential_core(rng):
     for j in range(spc):
         x = m_c + eps_block[j] @ f_c.T
         v = score_fn(x, *params)
-        m_n, f_n, good, stiff = _bam_smallspace_ns(
+        m_n, f_n, good, stiff, *_ = _bam_smallspace_ns(
             eps_block[j], v, m_c, f_c, regs[j], batch=b)
         keep = bool(good) and not bool(stiff)
         if keep:
@@ -169,7 +169,7 @@ def test_multistep_kernel_stops_on_stiff_substep(rng):
 
     multi = make_fused_bam_multistep(score_fn, len(params), b, d, spc,
                                      interpret=True)
-    m_k, f_k, n_done, n_acc, stopped = multi(regs, spc, 0, eps_block, mu, f,
+    m_k, f_k, n_done, n_acc, stopped, *_ = multi(regs, spc, 0, eps_block, mu, f,
                                              *params)
     assert int(n_done) == 2
     assert int(stopped) == 1
@@ -179,7 +179,7 @@ def test_multistep_kernel_stops_on_stiff_substep(rng):
     for j in range(2):
         x = m_c + eps_block[j] @ f_c.T
         v = score_fn(x, *params)
-        m_n, f_n, good, stiff = _bam_smallspace_ns(
+        m_n, f_n, good, stiff, *_ = _bam_smallspace_ns(
             eps_block[j], v, m_c, f_c, regs[j], batch=b)
         if bool(good) and not bool(stiff):
             m_c, f_c = m_n, f_n
@@ -200,7 +200,7 @@ def test_multistep_nmax_limits_consumed_steps(rng):
     regs = jnp.full((spc,), 0.5, jnp.float32)
     multi = make_fused_bam_multistep(score_fn, len(params), b, d, spc,
                                      interpret=True)
-    _, _, n_done, _, stopped = multi(regs, 3, 0, eps_block,
+    _, _, n_done, _, stopped, *_ = multi(regs, 3, 0, eps_block,
                                      jnp.zeros(d, jnp.float32),
                                      jnp.eye(d, dtype=jnp.float32), *params)
     assert int(n_done) == 3
@@ -328,12 +328,12 @@ def test_gu_gate_flags_extreme_reg_even_with_benign_y(rng):
     f = (np.eye(d) + 0.02 * rng.normal(size=(d, d))).astype(np.float32)
     mu = rng.normal(size=d).astype(np.float32)
     v = (0.02 * rng.normal(size=(b, d))).astype(np.float32)
-    _, _, good, stiff = _bam_smallspace_ns(
+    _, _, good, stiff, *_ = _bam_smallspace_ns(
         jnp.asarray(e), jnp.asarray(v), jnp.asarray(mu).reshape(1, d),
         jnp.asarray(f), 1e4, batch=b, lmax_gate=float("inf"))
     assert bool(stiff)
     # And comfortably below the gate (reg ~ 100, gu ~ 2.6e3) it stays off.
-    _, _, good, stiff = _bam_smallspace_ns(
+    _, _, good, stiff, *_ = _bam_smallspace_ns(
         jnp.asarray(e), jnp.asarray(v), jnp.asarray(mu).reshape(1, d),
         jnp.asarray(f), 100.0, batch=b, lmax_gate=float("inf"))
     assert not bool(stiff)
@@ -358,7 +358,7 @@ def test_fuzz_grid_ns_map_vs_svd(rng):
                 v = (-sscale * x).astype(np.float32)
                 args = (jnp.asarray(e), jnp.asarray(v), jnp.asarray(mu),
                         jnp.asarray(f))
-                m_ns, f_ns, good, stiff = _bam_smallspace_ns(
+                m_ns, f_ns, good, stiff, *_ = _bam_smallspace_ns(
                     args[0], args[1], args[2].reshape(1, d), args[3], reg,
                     batch=b)
                 if bool(stiff) or not bool(good):
@@ -398,7 +398,7 @@ def test_ns_ladder_tier_accuracy_inside_envelope(rng, tier):
                  ).astype(np.float32)
             args = (jnp.asarray(e), jnp.asarray(v), jnp.asarray(mu),
                     jnp.asarray(f))
-            m_n, f_n, good, stiff = _bam_smallspace_ns(
+            m_n, f_n, good, stiff, *_ = _bam_smallspace_ns(
                 args[0], args[1], args[2].reshape(1, d), args[3], reg,
                 batch=b, iters=iters, lmax_gate=lmax_gate, gu_gate=gu_gate)
             if bool(stiff) or not bool(good):
@@ -430,23 +430,86 @@ def test_ns_tier_thresholds_descend_and_scale():
     assert 20.0 < predicted_gu_coeff(32, 256) < 32.0
 
 
-def test_ladder_disengages_above_d256():
-    """ns_profile="auto" runs the single long profile above D=256: the
-    reg-only tier prediction underestimates the D-scaled Y-Gram statistic
-    there, and the resulting every-step gate trips replay through the
-    ~4-8x-costlier XLA SVD path (measured -11% at 512, -3.2x at 1024 vs
-    the long profile).  Accuracy is never at stake — this pins the
-    throughput heuristic."""
+def test_feedback_ladder_engages_at_every_d():
+    """The measured-feedback ladder replaces the round-3 D<=256 cutoff:
+    tier selection now runs on the kernels' exported gate statistics, which
+    are correct at every D (the reg-only predictor they replace was blind
+    to the D/target scaling of lmax and thrashed at D >= 512)."""
     from gsmvi_tpu import FactorBaM
     from gsmvi_tpu.models import dense_gaussian
 
-    for d, n_tiers in ((64, len(BAM_NS_TIERS)), (256, len(BAM_NS_TIERS)),
-                       (512, 1), (1024, 1)):
-        t = dense_gaussian(jax.random.PRNGKey(0), 4)  # lp unused here
+    t = dense_gaussian(jax.random.PRNGKey(0), 4)  # lp unused here
+    for d in (64, 256, 512, 1024):
         g = FactorBaM(D=d, lp=t.lp, lp_g=t.lp_g)
-        tiers, thresholds = g._ns_tiers(32)
-        assert len(tiers) == n_tiers, (d, len(tiers))
-        assert len(thresholds) == n_tiers - 1
+        assert len(g._ns_tiers()) == len(BAM_NS_TIERS), d
+        assert len(FactorBaM(D=d, lp=t.lp, lp_g=t.lp_g,
+                             ns_profile="long")._ns_tiers()) == 1
+    # Tightening the configured gates prunes benign tiers whose gates sit
+    # above them (the ladder can only ever be stricter than configured).
+    g = FactorBaM(D=64, lp=t.lp, lp_g=t.lp_g, gu_gate=20.0, lmax_gate=500.0)
+    assert all(gg <= 20.0 and lm <= 500.0
+               for (_, gg, lm) in g._ns_tiers()[1:])
+
+
+def test_ns_tier_from_stats_selection():
+    """Most benign tier whose gates pass the measured stats with margin;
+    inf (cold start / post-stiff) selects the long profile."""
+    from gsmvi_tpu.ops.pallas.bam_fused import (FEEDBACK_MARGIN,
+                                                ns_tier_from_stats)
+
+    # BAM_NS_TIERS gates: gu (5e4, 64, 14, 3), lmax (1e4, 1500, 120, 12).
+    assert int(ns_tier_from_stats(jnp.inf, jnp.inf)) == 0
+    assert int(ns_tier_from_stats(1e3, 1e3)) == 0
+    assert int(ns_tier_from_stats(40.0, 900.0)) == 1
+    # gu would pass tier 2 but lmax only tier 1 -> the stiffer wins.
+    assert int(ns_tier_from_stats(5.0, 900.0)) == 1
+    assert int(ns_tier_from_stats(5.0, 50.0)) == 2
+    assert int(ns_tier_from_stats(1.0, 5.0)) == 3
+    # The margin is applied to the gates: just under a gate still fails.
+    assert int(ns_tier_from_stats(13.9, 119.0)) == 1
+    assert FEEDBACK_MARGIN < 1.0
+
+
+def test_multistep_kernel_exports_last_attempt_stats(rng):
+    """The multistep kernel's ns_stats output equals the core map's
+    measured (gu_ub, lmax_ub) of the last attempted sub-step, and the
+    single-step kernel's equals the core's directly."""
+    from gsmvi_tpu.models import dense_gaussian
+
+    b, d, spc = 8, 16, 3
+    t = dense_gaussian(jax.random.PRNGKey(1), d)
+    score_fn, params = t.pallas_score
+    params = [jnp.asarray(p, jnp.float32) for p in params]
+    mu = jnp.zeros(d, jnp.float32)
+    f = jnp.eye(d, dtype=jnp.float32)
+    eps_block = jnp.asarray(rng.normal(size=(spc, b, d)).astype(np.float32))
+    regs = jnp.asarray([1.0, 0.7, 0.5], jnp.float32)
+    multi = make_fused_bam_multistep(score_fn, len(params), b, d, spc,
+                                     interpret=True)
+    m_k, f_k, n_done, n_acc, stopped, ns = multi(
+        regs, spc, 0, eps_block, mu, f, *params)
+    assert int(n_done) == spc and int(stopped) == 0
+    # Sequential core replay: stats of the LAST sub-step.
+    mu_c, f_c = mu.reshape(1, d), f
+    for j in range(spc):
+        x = mu_c + eps_block[j] @ f_c.T
+        vj = score_fn(x, *params)
+        m_n, f_n, good, stiff, gu_ub, lmax_ub = _bam_smallspace_ns(
+            eps_block[j], vj, mu_c, f_c, regs[j], batch=b)
+        if bool(good) and not bool(stiff):
+            mu_c, f_c = m_n, f_n
+    np.testing.assert_allclose(np.asarray(ns),
+                               np.asarray([gu_ub, lmax_ub]),
+                               rtol=1e-4, atol=1e-6)
+    # Single-step kernel export agrees with the core map too.
+    e0 = eps_block[0]
+    v0 = score_fn(mu.reshape(1, d) + e0 @ jnp.eye(d), *params)
+    _, _, _, _, ns1 = bam_eps_update_fused(e0, v0, mu, jnp.eye(d),
+                                           1.0, interpret=True)
+    _, _, _, _, gu1, lm1 = _bam_smallspace_ns(
+        e0, v0, mu.reshape(1, d), jnp.eye(d), 1.0, batch=b)
+    np.testing.assert_allclose(np.asarray(ns1), np.asarray([gu1, lm1]),
+                               rtol=1e-4, atol=1e-6)
 
 
 def test_ladder_and_long_profiles_reach_same_moments(rng, monkeypatch):

@@ -197,7 +197,7 @@ def test_bam_fused_update_matches_xla_svd_on_tpu():
                                           jnp.asarray(mu), jnp.asarray(f),
                                           reg, solver="svd")
         s_x = np.asarray(f_x @ f_x.T)
-    m_p, f_p, good_p, stiff = bam_eps_update_fused(
+    m_p, f_p, good_p, stiff, *_ = bam_eps_update_fused(
         jnp.asarray(eps), jnp.asarray(v), jnp.asarray(mu), jnp.asarray(f),
         reg)
     assert bool(good_x) and bool(good_p) and not bool(stiff)
