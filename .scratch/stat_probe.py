@@ -45,7 +45,7 @@ def stats_from_state(e, v, mu, f, reg):
     cu = jnp.linalg.inv(eye_k + s_u)
     q_t = fu_t @ f
     omq = om_t @ q_t.T
-    y_t = q_t + (cu @ omq).T @ om_t if False else q_t + ((cu @ omq).T @ om_t)
+    y_t = q_t + (cu @ omq).T @ om_t
     g = y_t @ y_t.T
     g = 0.5 * (g + g.T)
     lmax_ub = _spd_norm_ub(g)
@@ -66,7 +66,7 @@ def probe(d, target, niter=3000, sample_every=50):
     step = fb._make_step(B, regf, retries=10, allow_pallas=False)
     from gsmvi_tpu.gsm_factor import FactorVIState
     f0 = jnp.eye(d, dtype=jnp.float32)
-    st = FactorVIState(jnp.zeros((1, d), jnp.float32), f0, f0,
+    st = FactorVIState(jnp.zeros(d, jnp.float32), f0, f0,
                        key, jnp.zeros((), jnp.int32),
                        jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
     stepj = jax.jit(step)

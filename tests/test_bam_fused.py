@@ -539,27 +539,75 @@ def test_fused_trajectory_invariant_to_spc_and_monitor_cadence(rng,
                                                                monkeypatch):
     """eps is drawn per ABSOLUTE step (fold_in(key, step)), so the fused
     trajectory must be bit-stable under steps_per_call and chunk-cadence
-    (monitor checkpoint) changes."""
+    (monitor checkpoint) changes.  niter=200 crosses the feedback-ladder
+    cadence (FEEDBACK_CADENCE=64) three times, so the boundary-adoption /
+    block-truncation mechanics are exercised, not just the pre-ladder
+    single-tier path."""
     from gsmvi_tpu import Regularizers
     from gsmvi_tpu.models import dense_gaussian
+    from gsmvi_tpu.ops.pallas.bam_fused import FEEDBACK_CADENCE
     from gsmvi_tpu.utils.monitors import KLMonitor
 
     d = 8
     t = dense_gaussian(jax.random.PRNGKey(7), d, scale=0.3)
     regf = Regularizers().linear(20.0)
+    niter = 200
+    assert niter >= 3 * FEEDBACK_CADENCE  # must cross cadence boundaries
 
     def run(spc, monitor=None):
         g = _fused_factorbam(t, d, monkeypatch, steps_per_call=spc)
-        return g.fit(jax.random.PRNGKey(0), regf=regf, niter=60,
+        return g.fit(jax.random.PRNGKey(0), regf=regf, niter=niter,
                      batch_size=8, verbose=False, retries=0,
                      monitor=monitor, return_state=True)
 
     s2 = run(2)
     s4 = run(4)
+    s5 = run(5)  # spc not dividing the cadence: blocks must truncate
     s4m = run(4, monitor=KLMonitor(batch_size_kl=8, checkpoint=17))
-    np.testing.assert_allclose(np.asarray(s2.mean), np.asarray(s4.mean),
-                               rtol=2e-5, atol=2e-5)
-    np.testing.assert_allclose(np.asarray(s2.factor), np.asarray(s4.factor),
-                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(s2.mean), np.asarray(s4.mean))
+    np.testing.assert_array_equal(np.asarray(s2.factor),
+                                  np.asarray(s4.factor))
+    np.testing.assert_array_equal(np.asarray(s2.ns_stats),
+                                  np.asarray(s4.ns_stats))
+    np.testing.assert_array_equal(np.asarray(s2.mean), np.asarray(s5.mean))
+    np.testing.assert_array_equal(np.asarray(s2.factor),
+                                  np.asarray(s5.factor))
     np.testing.assert_array_equal(np.asarray(s4.mean), np.asarray(s4m.mean))
-    assert int(s2.n_accepted) == int(s4.n_accepted)
+    assert int(s2.n_accepted) == int(s4.n_accepted) == int(s5.n_accepted)
+
+
+def test_fused_trajectory_invariance_with_stiff_adoption(rng, monkeypatch):
+    """The stiff-adoption carry path (a gate trip adopts the stopping step's
+    stats immediately, mid-window) must also be grouping-invariant: force
+    trips with a tight lmax_gate and compare spc groupings bit-for-bit."""
+    from gsmvi_tpu import Regularizers
+    from gsmvi_tpu.models import dense_gaussian
+
+    d = 8
+    t = dense_gaussian(jax.random.PRNGKey(7), d, scale=1.0)
+    regf = Regularizers().linear(20.0)
+
+    def run(spc):
+        g = _fused_factorbam(t, d, monkeypatch, steps_per_call=spc,
+                             lmax_gate=300.0)
+        return g.fit(jax.random.PRNGKey(0), regf=regf, niter=170,
+                     batch_size=8, verbose=False, retries=0,
+                     return_state=True)
+
+    s2 = run(2)
+    s5 = run(5)
+    # The tight gate must actually trip (otherwise this test is vacuous):
+    # a tripped step replays through the XLA SVD path, whose low bits differ
+    # from the NS chain's, so the trajectory must DIFFER from a default-gate
+    # run of the same config.
+    g_ref = _fused_factorbam(t, d, monkeypatch, steps_per_call=2)
+    s_ref = g_ref.fit(jax.random.PRNGKey(0), regf=regf, niter=170,
+                      batch_size=8, verbose=False, retries=0,
+                      return_state=True)
+    assert not np.array_equal(np.asarray(s2.factor), np.asarray(s_ref.factor))
+    np.testing.assert_array_equal(np.asarray(s2.mean), np.asarray(s5.mean))
+    np.testing.assert_array_equal(np.asarray(s2.factor),
+                                  np.asarray(s5.factor))
+    np.testing.assert_array_equal(np.asarray(s2.ns_stats),
+                                  np.asarray(s5.ns_stats))
+    assert int(s2.n_accepted) == int(s5.n_accepted)

@@ -76,9 +76,12 @@ def test_time_fit_prefers_fastest_attempt(monkeypatch):
     # perf_counter consumed as: [t0,t1-end] x (n1 then n2) per attempt.
     # Attempt 1 (stalled): n1 takes 1 s, n2 takes 11 s -> diff
     #   (100-25)/(11-1) = 7.5 it/s.  Attempt 2 (clean): n1 0.25 s, n2 1 s
-    #   -> diff 75/0.75 = 100 it/s.  Best must be 100, not 7.5.
-    seq = iter([0.0, 1.0,   1.0, 12.0,     # attempt 1: t1=1, t2=11
-                12.0, 12.25, 12.25, 13.25])  # attempt 2: t1=0.25, t2=1
+    #   -> diff 75/0.75 = 100 it/s.  The attempts disagree >1.35x, so a
+    #   third CORROBORATING attempt runs (also clean, 100 it/s) and the
+    #   result is 100, not 7.5.
+    seq = iter([0.0, 1.0,   1.0, 12.0,      # attempt 1: t1=1, t2=11
+                12.0, 12.25, 12.25, 13.25,  # attempt 2: t1=0.25, t2=1
+                14.0, 14.25, 14.25, 15.25])  # attempt 3: confirms 100
     monkeypatch.setattr(bench.time, "perf_counter", lambda: next(seq))
     ips, em, ec = bench._time_fit(
         lambda n: (np.zeros(4), np.eye(4)), 100, T())
