@@ -43,7 +43,11 @@ PRIMARY_D = 256
 # slower per iteration and gets its own (smaller at D=1024 where its step
 # is ~40ms).
 NITER = {64: 60000, 256: 40000, 512: 20000, 1024: 16000}
+# Dense-state BaM path (use_factor=False): reference-shaped state, slower.
 NITER_BAM = {64: 16000, 256: 8000, 512: 2000, 1024: 3000}
+# The BaM class default now delegates to the factor route (fused update
+# kernel on TPU: 26.2k/23.1k/7.2k it/s) — windows sized to >=1 s there.
+NITER_BAM_FACTOR = {64: 40000, 256: 30000, 512: 12000, 1024: 10000}
 # bam_fused runs at 85k/65k/14k it/s (ladder, quiet machine): the shared
 # NITER table gave it 0.3-0.5 s differential windows, which tunnel jitter
 # underreads 3x (measured in the r3 driver-style run: 20.9k vs 58k @256
@@ -244,6 +248,7 @@ def bench_matrix(targets):
                  else NITER_TWOPHASE if name == "advi_twophase"
                  else NITER_ADVI if name.startswith("advi")
                  else NITER_BAM_FUSED if name == "bam_fused"
+                 else NITER_BAM_FACTOR if name in ("bam", "bam_lowrank")
                  else NITER_BAM if "bam" in name else NITER)
         niter = table[t.d] if not SMOKE else 50
         try:
@@ -361,6 +366,7 @@ def bench_matrix(targets):
         add("factor_gsm", d, lambda t: fgsm_run(t, use_pallas=False))
         add("bam", d, lambda t: bam_run(t))
         add("bam_lowrank", d, lambda t: bam_run(t, use_lowrank=True))
+        add("bam_dense", d, lambda t: bam_run(t, use_factor=False))
         add("factor_bam", d, lambda t: fbam_run(t, use_pallas=False))
         add("bam_fused", d,
             lambda t: fbam_run(t, pallas_score=t.pallas_score))

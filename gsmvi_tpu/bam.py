@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .distributions import safe_cholesky
 from .driver import (RunnerCache, is_traceable, make_chunk_runner, on_tpu,
                      run_fit_loop)
 from .ops.bam import Regularizers, bam_lowrank_update, bam_update  # noqa: F401 (re-export)
@@ -51,7 +52,8 @@ class BaM:
 
     def __init__(self, D, lp, lp_g, use_lowrank=False, jit_compile=True,
                  mesh=None, data_axis: str = "data", dtype=None,
-                 sqrt_method: str = "auto", auto_lowrank: bool = True):
+                 sqrt_method: str = "auto", auto_lowrank: bool = True,
+                 use_factor: "bool | str" = "auto", pallas_score=None):
         self.D = D
         self.lp = lp
         self.lp_g = lp_g
@@ -69,7 +71,69 @@ class BaM:
         # Route full-rank requests through the (exact) low-rank algebra when
         # B+1 << D; disable to force the dense root regardless of shape.
         self.auto_lowrank = auto_lowrank
+        # ``use_factor`` ("auto"/True/False): on TPU with a traceable lp_g,
+        # "auto" routes ``fit`` through the FactorBaM eps algebra — the
+        # identical exact rank-(B+1) update in factor coordinates
+        # (ops/bam_eps.py derivation) with zero D x D factorizations in the
+        # hot loop, picking up the fused Pallas update kernel where
+        # supported.  Measured v5e @B=32: 26.2k/23.1k/7.2k it/s at
+        # D=64/256/1024 vs this class's dense-state 18.6k/16.8k/3.1k —
+        # a win at every D.  ``jitter`` is inert on that route (the factor
+        # proposal is PD by construction); the dense path (numpy callables,
+        # off-TPU, use_factor=False) keeps the reference's jitter exactly.
+        # ``pallas_score`` additionally enables the fully-fused whole-step
+        # kernel (sampling + score + update in one Pallas call), as
+        # FactorBaM.
+        self.use_factor = use_factor
+        self.pallas_score = pallas_score
+        self._factor_fitter = None
         self._runners = RunnerCache()
+
+    def _factor_route(self, traceable: bool) -> bool:
+        """Whether this ``fit`` call runs on the factor-coordinate (eps)
+        route.  "auto" requires a TPU (where it is a measured win at every
+        D — see __init__); ``True`` forces it anywhere (it is exact
+        everywhere, just not always faster off-TPU at small D)."""
+        if not traceable or self.use_factor is False:
+            return False
+        if self.use_factor is True:
+            return True
+        return on_tpu()
+
+    def _get_factor_fitter(self):
+        from .bam_factor import FactorBaM
+
+        if self._factor_fitter is None:
+            self._factor_fitter = FactorBaM(
+                self.D, self.lp, self.lp_g, mesh=self.mesh,
+                data_axis=self.data_axis, dtype=self.dtype,
+                pallas_score=self.pallas_score)
+        return self._factor_fitter
+
+    def _fit_factor(self, key, regf, mean, cov, batch_size, niter, nprint,
+                    verbose, monitor, retries, return_state, state):
+        """Delegate one fit to the factor route and convert states at the
+        boundary, so the BaM surface (VIState in/out, dense cov) is kept."""
+        from .bam_factor import FactorVIState
+        from .ops.gsm_factor import factor_to_cov
+
+        fb = self._get_factor_fitter()
+        fstate = None
+        if state is not None:
+            # VIState already carries the Cholesky factor of cov — a valid
+            # sampling factor for the factor-coordinate state.
+            fstate = FactorVIState(
+                state.mean, state.chol, jnp.zeros((0, 0), self.dtype),
+                state.key, state.step, state.n_accepted, state.n_rejected)
+        fst = fb.fit(key, regf, mean=mean, cov=cov, batch_size=batch_size,
+                     niter=niter, nprint=nprint, verbose=verbose,
+                     monitor=monitor, retries=retries, return_state=True,
+                     state=fstate)
+        cov_out = factor_to_cov(fst.factor)
+        if not return_state:
+            return fst.mean, cov_out
+        return VIState(fst.mean, cov_out, safe_cholesky(cov_out), fst.key,
+                       fst.step, fst.n_accepted, fst.n_rejected)
 
     def _get_runner(self, batch_size, regf, retries, jitter):
         # ``regf`` is keyed by identity (closures are unhashable in general);
@@ -178,11 +242,22 @@ class BaM:
         index (see ``Regularizers``).  ``jitter`` is added to V's diagonal
         inside the kernel each step (reference adds it to the output cov on
         host, ``gsmvi/bam.py:198``).
+
+        On TPU with a traceable ``lp_g`` (``use_factor="auto"``) the fit
+        runs on the factor-coordinate eps route — identical math, zero
+        D x D factorizations per step, fused Pallas update where supported
+        (see __init__); there ``jitter`` is inert (the proposal is PD by
+        construction) and per-step numerics differ from the dense path at
+        f32 rounding while converging to the same moments.
         """
-        if state is None:
-            state = init_state(key, self.D, mean, cov, self.dtype)
         probe = jax.ShapeDtypeStruct((batch_size, self.D), self.dtype)
         traceable = self.jit_compile and is_traceable(self.lp_g, probe)
+        if self._factor_route(traceable):
+            return self._fit_factor(key, regf, mean, cov, batch_size, niter,
+                                    nprint, verbose, monitor, retries,
+                                    return_state, state)
+        if state is None:
+            state = init_state(key, self.D, mean, cov, self.dtype)
         if not traceable and verbose:
             print("lp_g is not jax-traceable or jit_compile=False; using the eager host loop")
         state = run_fit_loop(

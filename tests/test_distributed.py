@@ -97,6 +97,98 @@ def test_two_process_cluster_psum(tmp_path):
         assert f"proc {i} OK" in out
 
 
+_CHILD_FIT = textwrap.dedent("""
+    import sys
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    # The pytest parent runs under conftest's global x64; the target
+    # construction (PRNG draws) must match it or the oracle comparison
+    # compares fits of DIFFERENT targets.
+    jax.config.update("jax_enable_x64", True)
+
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from gsmvi_tpu import GSM
+    from gsmvi_tpu.models import dense_gaussian
+    from gsmvi_tpu.parallel.distributed import initialize_distributed
+
+    pid, port = int(sys.argv[1]), sys.argv[2]
+    ok = initialize_distributed(coordinator_address=f"127.0.0.1:{port}",
+                                num_processes=2, process_id=pid)
+    assert ok is True, ok
+    assert jax.process_count() == 2
+
+    # An actual cross-process FIT (round-3 verdict #8): the data mesh spans
+    # both processes' devices; the state stays replicated (identical inputs
+    # on every process), eps is drawn in-jit and shard-constrained, GSPMD
+    # inserts the cross-process Gram reductions.
+    d = 12
+    t = dense_gaussian(jax.random.PRNGKey(5), d, scale=0.5)
+    mesh = Mesh(np.array(jax.devices()).reshape(-1), ("data",))
+    g = GSM(D=d, lp=t.lp, lp_g=t.lp_g, mesh=mesh)
+    mean, cov = g.fit(jax.random.PRNGKey(0), niter=400,
+                      batch_size=2 * len(jax.devices()), verbose=False)
+    m = np.asarray(jax.device_get(mean)).ravel()
+    c = np.asarray(jax.device_get(cov))
+    print("MEAN", " ".join(f"{x:.6e}" for x in m), flush=True)
+    print("COVTR", f"{np.trace(c):.6e}", flush=True)
+    print(f"proc {pid} FIT-OK", flush=True)
+""")
+
+
+def test_two_process_fit_matches_single_process(tmp_path):
+    """``GSM(mesh=...).fit`` across a REAL two-process cluster: both
+    processes converge, agree with each other bit-for-bit (the state is
+    replicated), and recover the same target moments a single-process fit
+    does."""
+    import numpy as np
+
+    child = tmp_path / "child_fit.py"
+    child.write_text(_CHILD_FIT)
+    port = _free_port()
+    env = _child_env()
+    procs = [subprocess.Popen([sys.executable, str(child), str(i), str(port)],
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, env=env, text=True)
+             for i in range(2)]
+    outs = []
+    for i, p in enumerate(procs):
+        try:
+            out, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail(f"fit process {i} timed out")
+        outs.append(out)
+    means = []
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out}"
+        assert f"proc {i} FIT-OK" in out
+        line = [ln for ln in out.splitlines() if ln.startswith("MEAN ")][0]
+        means.append(np.array([float(x) for x in line.split()[1:]]))
+    # Replicated state: both processes hold the identical result.
+    np.testing.assert_array_equal(means[0], means[1])
+
+    # Single-process oracle (same target construction, same total batch):
+    # the distributed fit must land on the same moments.
+    import jax
+
+    from gsmvi_tpu import GSM
+    from gsmvi_tpu.models import dense_gaussian
+
+    d = 12
+    t = dense_gaussian(jax.random.PRNGKey(5), d, scale=0.5)
+    g = GSM(D=d, lp=t.lp, lp_g=t.lp_g)
+    mean_1p, _ = g.fit(jax.random.PRNGKey(0), niter=400, batch_size=4,
+                       verbose=False)
+    # Identical eps stream (the draw precedes the sharding constraint), so
+    # agreement is numerical (collective reduction order), not statistical.
+    np.testing.assert_allclose(means[0], np.asarray(mean_1p), atol=1e-4)
+    np.testing.assert_allclose(means[0], np.asarray(t.mean), atol=0.05)
+
+
 def test_explicit_misconfiguration_raises():
     """Explicit-argument failures must raise, not silently fall back to
     single-process (distributed.py failure-semantics contract).  An

@@ -314,3 +314,48 @@ def test_bam_fused_whole_step_fit_converges_on_tpu():
                / max(1.0, float(np.abs(np.asarray(t.cov)).max())))
     assert me < 1e-2, me
     assert ce < 1e-2, ce
+
+
+def test_mesh1_fused_update_matches_unmeshed_on_tpu():
+    """VERDICT r3 item #6: the mesh-composed fused update path
+    (parallel/sharded.make_gathered_update — per-shard scores, all_gather,
+    replicated Pallas kernel + stiff-replay cond) had only ever run in
+    interpret mode.  A 1-device mesh on the real chip exercises the same
+    composition with real Mosaic lowering; its trajectory must match the
+    unmeshed fused-update trajectory."""
+    from jax.sharding import Mesh
+
+    from gsmvi_tpu import FactorBaM, FactorGSM, Regularizers
+    from gsmvi_tpu.models import dense_gaussian
+
+    d, b, niter = 256, 32, 400
+    t = dense_gaussian(jax.random.PRNGKey(3), d)
+    mesh = Mesh(np.asarray(jax.devices()[:1]), ("data",))
+
+    # FactorGSM: meshed vs unmeshed fused update.
+    outs = []
+    for m in (mesh, None):
+        g = FactorGSM(D=d, lp=t.lp, lp_g=t.lp_g, mesh=m)
+        assert g._pallas_mode(b) == "update"
+        st = g.fit(jax.random.PRNGKey(0), niter=niter, batch_size=b,
+                   verbose=False, return_state=True)
+        outs.append((np.asarray(st.mean), np.asarray(st.factor),
+                     int(st.n_accepted)))
+    np.testing.assert_allclose(outs[0][0], outs[1][0], atol=1e-5)
+    np.testing.assert_allclose(outs[0][1], outs[1][1], atol=1e-5)
+    assert outs[0][2] == outs[1][2]
+
+    # FactorBaM: meshed vs unmeshed fused update (+ feedback ladder carry).
+    outs = []
+    for m in (mesh, None):
+        g = FactorBaM(D=d, lp=t.lp, lp_g=t.lp_g, mesh=m)
+        assert g._pallas_mode(b) == "update"
+        st = g.fit(jax.random.PRNGKey(0), regf=Regularizers().linear(100.0),
+                   niter=niter, batch_size=b, verbose=False, retries=0,
+                   return_state=True)
+        outs.append((np.asarray(st.mean), np.asarray(st.factor),
+                     int(st.n_accepted)))
+    scale = max(1.0, float(np.abs(outs[1][1]).max()))
+    np.testing.assert_allclose(outs[0][0], outs[1][0], atol=1e-5)
+    np.testing.assert_allclose(outs[0][1], outs[1][1], atol=1e-5 * scale)
+    assert outs[0][2] == outs[1][2]
