@@ -382,6 +382,46 @@ def bench_matrix(targets):
     return results
 
 
+def fit_batch_evidence(targets):
+    """Aggregate-throughput evidence (VERDICT r3 item #4): K vmapped
+    replicas in one compiled program vs K sequential single fits.  The
+    small-D per-step regime is latency/op-count-bound, so a single fit
+    cannot use the chip; ``fit_batch`` is the honest chip-utilization
+    story.  vmap-of-pallas has no batching rule, so fit_batch runs the XLA
+    eps path — the aggregate numbers below measure exactly what that
+    forcing costs relative to K x the single-fit XLA/fused cells."""
+    import jax
+
+    from gsmvi_tpu import FactorGSM
+
+    out = {}
+    cells = ((64, 8, 20000), (64, 32, 20000), (256, 8, 8000), (256, 32, 4000))
+    for d, k, niter in cells:
+        if _remaining() < 180:
+            break
+        if SMOKE:
+            niter = 50
+        t = targets[d]
+        try:
+            g = FactorGSM(D=t.d, lp=t.lp, lp_g=t.lp_g)
+            keys = jax.random.split(jax.random.PRNGKey(0), k)
+
+            def run(n):
+                m, c = g.fit_batch(keys, batch_size=B, niter=n)
+                return m[0], c[0]
+
+            ips, em, ec = _time_fit(run, niter, t)
+            out[f"D{d}_K{k}"] = {
+                "iters_per_s_per_replica": round(ips, 1),
+                "aggregate_iters_per_s": round(ips * k, 1),
+                "aggregate_score_evals_per_s": round(ips * k * B, 1),
+                "mean_err": em, "cov_err": ec,
+            }
+        except Exception as e:
+            out[f"D{d}_K{k}"] = {"error": str(e)[:200]}
+    return out
+
+
 def audit_evidence(targets):
     """Run-time exactness bound for the fused headline cells: a short
     AUDITED fit (``fit(audit_every=...)``, utils/audit.py) recording the
@@ -492,6 +532,7 @@ def main():
             "dev_sentinel_quiet_s": (round(_SENTINEL["dev_quiet_s"], 3)
                                      if _SENTINEL["dev_quiet_s"] else None),
             "audit": audit_evidence(targets),
+            "fit_batch": fit_batch_evidence(targets),
             "matrix": matrix}
     matrix_path = os.environ.get("BENCH_MATRIX_PATH") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_MATRIX.json")
