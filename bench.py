@@ -399,6 +399,8 @@ def fit_batch_evidence(targets):
     for d, k, niter in cells:
         if _remaining() < 180:
             break
+        if d not in targets:
+            continue
         if SMOKE:
             niter = 50
         t = targets[d]
