@@ -379,6 +379,8 @@ def bench_matrix(targets):
         add("gsm", 512, lambda t: gsm_run(t, use_pallas=False))
         add("gsm_fused", 512,
             lambda t: fgsm_run(t, pallas_score=t.pallas_score))
+        add("bam_fused", 512,
+            lambda t: fbam_run(t, pallas_score=t.pallas_score))
     return results
 
 
