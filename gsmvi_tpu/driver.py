@@ -18,6 +18,7 @@ score functions while keeping the compiled path the default.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Callable, Optional
 
@@ -154,6 +155,7 @@ def run_fit_loop(
     collect_aux: bool = False,
     state_hook: Optional[Callable] = None,
     state_hook_every: int = 0,
+    max_steps_per_call: Optional[int] = None,
 ):
     """Run ``niter + 1`` update steps (reference iterates ``range(niter + 1)``,
     ``gsmvi/gsm.py:107``) with reference-parity monitor/print semantics.
@@ -181,10 +183,25 @@ def run_fit_loop(
                      by the fused fitters' ``audit_every`` (utils/audit.py);
                      unlike ``monitor`` it sees the raw fitter state, not
                      the (mean, cov) params.
+    max_steps_per_call — cap on the number of steps issued as ONE device
+                     program.  Tunneled/preemptible TPU runtimes kill device
+                     programs past a wall-time watchdog (measured on the
+                     axon worker: one ~96 s program — a 4M-iteration fused
+                     ADVI scan at D=1024 — crashes the worker process);
+                     splitting a fit into bounded chunks is trajectory-exact
+                     (chunking is pure control flow: the scan body is
+                     unchanged and all paths carry their PRNG key or
+                     absolute step in-state) and costs one host dispatch
+                     (~35 us local, ~35 ms tunneled) per boundary.  Default
+                     (None) reads the ``GSMVI_MAX_STEPS_PER_CALL`` env var
+                     (default 1_000_000; set it to 0 to uncap).
 
     Returns the final state (or ``(state, aux)`` with ``collect_aux``).
     """
     total = niter + 1
+    if max_steps_per_call is None:
+        max_steps_per_call = int(os.environ.get("GSMVI_MAX_STEPS_PER_CALL",
+                                                "1000000"))
     checkpoint = getattr(monitor, "checkpoint", None) if monitor is not None else None
     if monitor_params is None:
         monitor_params = lambda s: [s.mean, s.cov]
@@ -225,6 +242,8 @@ def run_fit_loop(
                     nevals=nevals)
             nevals = 0
         k = _next_event(i, total, cadences) - i
+        if max_steps_per_call and k > max_steps_per_call:
+            k = max_steps_per_call
         if collect_aux:
             state, aux = run_chunk(state, k)
             aux_chunks.append(aux)

@@ -114,3 +114,54 @@ def test_monitor_keys_differ_per_checkpoint_even_with_constant_state_key():
     assert len(seen) >= 4
     uniq = {tuple(k.ravel().tolist()) for k in seen}
     assert len(uniq) == len(seen), "monitor received duplicate PRNG keys"
+
+
+def test_max_steps_per_call_caps_device_program_length():
+    """Tunneled/preemptible TPU workers kill device programs past a
+    wall-time watchdog (one ~96 s program crashed the axon worker); the
+    loop must bound each run_chunk call at max_steps_per_call with an
+    UNCHANGED trajectory (chunking is pure control flow)."""
+    state = init_state(jax.random.PRNGKey(0), 3)
+    sizes = []
+
+    def chunk(s, k):
+        sizes.append(k)
+        for _ in range(k):
+            s = _counting_step(s)
+        return s
+
+    out = run_fit_loop(None, state, 24, verbose=False, run_chunk=chunk,
+                       max_steps_per_call=10)
+    assert sizes == [10, 10, 5]
+    assert int(out.step) == 25
+
+    # cadence boundaries still honored, cap interleaves with them
+    mon = RecordingMonitor(checkpoint=12)
+    sizes.clear()
+    run_fit_loop(None, init_state(jax.random.PRNGKey(0), 3), 24,
+                 verbose=False, run_chunk=chunk, monitor=mon,
+                 max_steps_per_call=10)
+    # (trailing duplicate 24 = the protocol's extra final call at i=niter)
+    assert [c[0] for c in mon.calls] == [0, 12, 24, 24]
+    assert sizes == [10, 2, 10, 2, 1]
+
+    # 0 (or the env var set to 0) uncaps
+    sizes.clear()
+    run_fit_loop(None, init_state(jax.random.PRNGKey(0), 3), 24,
+                 verbose=False, run_chunk=chunk, max_steps_per_call=0)
+    assert sizes == [25]
+
+
+def test_max_steps_per_call_default_from_env(monkeypatch):
+    monkeypatch.setenv("GSMVI_MAX_STEPS_PER_CALL", "7")
+    sizes = []
+
+    def chunk(s, k):
+        sizes.append(k)
+        for _ in range(k):
+            s = _counting_step(s)
+        return s
+
+    run_fit_loop(None, init_state(jax.random.PRNGKey(0), 3), 15,
+                 verbose=False, run_chunk=chunk)
+    assert sizes == [7, 7, 2]
