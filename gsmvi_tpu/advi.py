@@ -240,7 +240,8 @@ class ADVI:
 
     def fit(self, key, opt, mean=None, cov=None, batch_size=8, niter=1000,
             nprint=10, verbose=True, monitor=None, return_state=False,
-            return_losses=True, estimator="analytic"):
+            return_losses=True, estimator="analytic",
+            max_steps_per_call=None):
         """Run the fit; signature parity with reference ``gsmvi/advi.py:47``.
 
         Returns (mean, cov, losses) — three values, unlike GSM/BaM, matching
@@ -304,6 +305,7 @@ class ADVI:
             batch_size=batch_size,
             run_chunk=run_chunk,
             collect_aux=return_losses,
+            max_steps_per_call=max_steps_per_call,
         )
         if return_losses:
             state, losses = out
@@ -475,7 +477,8 @@ class ADVI:
     def fit_fused(self, key, learning_rate=1e-2, b1=0.9, b2=0.999,
                   eps=1e-8, mean=None, cov=None, batch_size=8, niter=1000,
                   nprint=10, verbose=True, monitor=None, return_state=False,
-                  state=None, estimator="analytic"):
+                  state=None, estimator="analytic",
+                  max_steps_per_call=None):
         """ADVI fit on the fused whole-step Pallas kernel (TPU serving path).
 
         The optimizer is in-kernel Adam with exact ``optax.adam`` semantics;
@@ -518,7 +521,8 @@ class ADVI:
                             mean=mean, cov=cov, batch_size=batch_size,
                             niter=niter, nprint=nprint, verbose=verbose,
                             monitor=monitor, return_state=return_state,
-                            return_losses=False, estimator=estimator)
+                            return_losses=False, estimator=estimator,
+                            max_steps_per_call=max_steps_per_call)
         f32 = jnp.float32
         d = self.D
         stl = estimator == "stl"
@@ -581,6 +585,23 @@ class ADVI:
                      else self._make_fused_runner)(batch_size,
                                                    learning_rate, b1, b2,
                                                    eps))
+        if max_steps_per_call is None:
+            # Batch-aware program-length guard: the env-default 1M-step cap
+            # (driver.run_fit_loop) assumes small-batch step times, but the
+            # fused kernel's per-step cost scales as ~(17 + 0.23 B)(D/1024)^2
+            # us on v5e (docs/BENCHMARKS.md D=1024 section) and the tunneled
+            # worker's watchdog kills ~90 s device programs — a 1M-step
+            # B=512/D=1024 chunk (133 s) crashed it.  Bound each program at
+            # ~60 s of ESTIMATED device time (pessimistic off-v5e: programs
+            # just split earlier, one ~35 ms dispatch per boundary).
+            import os as _os
+
+            est_us = (17.0 + 0.23 * batch_size) * (self.D / 1024.0) ** 2
+            est_cap = max(10_000, int(60e6 / max(est_us, 1e-3)))
+            env_cap = int(_os.environ.get("GSMVI_MAX_STEPS_PER_CALL",
+                                          "1000000"))
+            max_steps_per_call = (min(est_cap, env_cap) if env_cap
+                                  else est_cap)
         state = run_fit_loop(
             None, state, niter,
             monitor=monitor,
@@ -590,6 +611,7 @@ class ADVI:
             verbose=verbose,
             batch_size=batch_size,
             run_chunk=run_chunk,
+            max_steps_per_call=max_steps_per_call,
         )
         if return_state:
             return state, None

@@ -274,3 +274,24 @@ def test_advi_fused_supported_gate():
     assert advi_fused_supported(32, 1024, 8)
     assert not advi_fused_supported(1, 256, 8)
     assert not advi_fused_supported(32, 4096, 8)
+
+
+def test_fit_fused_invariant_to_max_steps_per_call(monkeypatch):
+    """The program-length cap (worker-watchdog guard) splits a fit into
+    bounded device programs; eps is drawn per ABSOLUTE step, so the
+    trajectory must be bit-identical to the uncapped run."""
+    from gsmvi_tpu.models import dense_gaussian
+
+    d = 6
+    t = dense_gaussian(jax.random.PRNGKey(5), d, scale=0.4)
+    outs = []
+    for cap in (0, 7, 13):
+        g = _fused_advi(t, d, monkeypatch, steps_per_call=4)
+        st, _ = g.fit_fused(jax.random.PRNGKey(2), learning_rate=2e-2,
+                            niter=50, batch_size=8, verbose=False,
+                            return_state=True, max_steps_per_call=cap)
+        assert int(st.step) == 51
+        outs.append((np.asarray(st.loc), np.asarray(st.l)))
+    for loc, l in outs[1:]:
+        np.testing.assert_array_equal(loc, outs[0][0])
+        np.testing.assert_array_equal(l, outs[0][1])
