@@ -455,9 +455,11 @@ def fit_batch_evidence(targets):
     replicas in one compiled program vs K sequential single fits.  The
     small-D per-step regime is latency/op-count-bound, so a single fit
     cannot use the chip; ``fit_batch`` is the honest chip-utilization
-    story.  vmap-of-pallas has no batching rule, so fit_batch runs the XLA
-    eps path — the aggregate numbers below measure exactly what that
-    forcing costs relative to K x the single-fit XLA/fused cells."""
+    story.  The batched step is the NS-XLA twin of the fused kernel
+    (``small_solver="auto"``, gsm_factor.fit_batch docstring): vmap of the
+    Pallas kernel itself lowers but SERIALIZES one grid cell per replica on
+    the single TensorCore (measured slower than both XLA variants), while
+    the NS-XLA step is pure batched matmuls the MXU tiles across K."""
     import jax
 
     from gsmvi_tpu import FactorGSM

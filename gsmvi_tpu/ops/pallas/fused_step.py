@@ -449,6 +449,41 @@ def gsm_eps_update_fused(eps, vs, mean, f, jitter: float = 1e-6,
     return mu_new[0], f_new, good[0, 0] > 0
 
 
+@functools.partial(jax.jit, static_argnames=("iters", "big_prec"))
+def gsm_eps_update_ns_xla(eps, vs, mean, f, iters=NS_ITERS_DEFAULT,
+                          big_prec=None):
+    """Plain-XLA twin of ``gsm_eps_update_fused``: identical matmul-only
+    Newton-Schulz small-space math, traced as ordinary XLA ops (no
+    ``pallas_call``).  Exists for BATCHED replica fits (``fit_batch``):
+
+    - vmap of the Pallas kernel lowers correctly on TPU but prepends a grid
+      dimension, and grid cells SERIALIZE on the chip's single TensorCore
+      (measured v5e, D=64/B=32/K=8: 95.2k aggregate it/s);
+    - the chol-based XLA step (``ops.gsm_eps.apply_eps_step``) vmaps, but
+      its batched small Cholesky/triangular solves run as sequential panel
+      loops (measured: 124-132k aggregate, flat from K=8 to K=32);
+    - this twin's step is nothing but (batched) matmuls and elementwise ops,
+      which XLA fuses and tiles onto the MXU across the replica dimension
+      (measured: 207k aggregate at K=8, peaking 244k at K=32).
+
+    Same residual gates, same f32 policy, same returns (mean, f, good) with
+    the old state already selected back on rejection.  f32 only.
+    """
+    b, d = eps.shape
+    dtype = jnp.float32
+    eps = eps.astype(dtype)
+    vs = vs.astype(dtype)
+    mu0 = mean.astype(dtype)
+    f = f.astype(dtype)
+    bp = _HI if big_prec is None else big_prec
+    vf = jnp.dot(vs, f, preferred_element_type=dtype, precision=bp)
+    mu_new, f_new, good = _eps_smallspace_ns(
+        eps, vs, vf, mu0.reshape(1, d), f, batch=b, iters=iters, big_prec=bp)
+    mean_o = jnp.where(good, mu_new[0], mu0)
+    f_o = jnp.where(good, f_new, f)
+    return mean_o, f_o, good
+
+
 def pltpu_scratch_fallback(shape, dtype):  # pragma: no cover
     raise RuntimeError("pallas TPU scratch requires pltpu")
 
