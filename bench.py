@@ -425,7 +425,12 @@ def bench_matrix(targets):
 
     ds = [64, 256] if SMOKE else [64, 256, 1024]
     for d in ds:
-        add("gsm", d, lambda t: gsm_run(t, use_pallas=False))
+        # use_factor=False pins the dense reference-equivalent trajectory
+        # (the GSM class default now factor-routes on TPU like BaM; the
+        # routed default's throughput is bracketed by the factor_gsm and
+        # gsm_fused cells).
+        add("gsm", d, lambda t: gsm_run(t, use_pallas=False,
+                                        use_factor=False))
         add("gsm_fused", d,
             lambda t: fgsm_run(t, pallas_score=t.pallas_score))
         add("factor_gsm", d, lambda t: fgsm_run(t, use_pallas=False))
@@ -442,7 +447,8 @@ def bench_matrix(targets):
             add("advi_twophase", d, lambda t: advi_twophase(t),
                 accuracy_only=(d > 512))
     if not SMOKE:
-        add("gsm", 512, lambda t: gsm_run(t, use_pallas=False))
+        add("gsm", 512, lambda t: gsm_run(t, use_pallas=False,
+                                          use_factor=False))
         add("gsm_fused", 512,
             lambda t: fgsm_run(t, pallas_score=t.pallas_score))
         add("bam_fused", 512,

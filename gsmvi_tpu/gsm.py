@@ -50,7 +50,8 @@ class GSM:
 
     def __init__(self, D, lp, lp_g, mesh=None, data_axis: str = "data",
                  dtype=None, use_pallas: "bool | str" = "auto",
-                 cov_sharding=None, chol_block=None):
+                 cov_sharding=None, chol_block=None,
+                 use_factor: "bool | str" = "auto", pallas_score=None):
         self.D = D
         self.lp = lp
         self.lp_g = lp_g
@@ -58,6 +59,21 @@ class GSM:
         self.data_axis = data_axis
         self.dtype = dtype or jnp.zeros(0).dtype
         self.use_pallas = use_pallas
+        # ``use_factor`` ("auto"/True/False): on TPU with a traceable lp_g,
+        # "auto" routes ``fit`` through the FactorGSM eps algebra — the
+        # identical rank-2B update in factor coordinates (ops/gsm_eps.py
+        # derivation) with zero D x D Choleskys in the hot loop, picking up
+        # the fused eps-update Pallas kernel where supported.  Mirrors
+        # ``BaM.use_factor`` (round 4).  The dense path is kept for numpy
+        # callables, off-TPU runs, sharded-Σ configs (``cov_sharding``/
+        # ``chol_block``) and ``use_factor=False``.  ``pallas_score``
+        # additionally enables the fully-fused whole-step kernel (on-chip
+        # PRNG sampling + score + update in one Pallas call), as FactorGSM —
+        # note that path uses the TPU hardware PRNG (same distribution,
+        # different stream than jax.random).
+        self.use_factor = use_factor
+        self.pallas_score = pallas_score
+        self._factor_fitter = None
         # Optional NamedSharding splitting the (D, D) covariance over a model
         # axis for very large D (see parallel/large_d.py).
         self.cov_sharding = cov_sharding
@@ -81,6 +97,57 @@ class GSM:
             self._runners[batch_size] = make_chunk_runner(
                 self._make_step(batch_size))
         return self._runners[batch_size]
+
+    def _factor_route(self, traceable: bool) -> bool:
+        """Whether this ``fit`` call runs on the factor-coordinate (eps)
+        route.  "auto" requires a TPU (where the eps step is a measured win —
+        no per-step D x D Cholesky); ``True`` forces it anywhere (exact
+        everywhere, just not always faster off-TPU).  Sharded-Σ configs keep
+        the dense path: this class's ``cov_sharding``/``chol_block`` describe
+        a partitioned dense covariance, not a factor."""
+        if not traceable or self.use_factor is False:
+            return False
+        if self.cov_sharding is not None or self.chol_fn is not None:
+            return False
+        if self.use_factor is True:
+            return True
+        return on_tpu()
+
+    def _get_factor_fitter(self):
+        from .gsm_factor import FactorGSM
+
+        if self._factor_fitter is None:
+            self._factor_fitter = FactorGSM(
+                self.D, self.lp, self.lp_g, mesh=self.mesh,
+                data_axis=self.data_axis, dtype=self.dtype,
+                use_pallas=self.use_pallas, pallas_score=self.pallas_score)
+        return self._factor_fitter
+
+    def _fit_factor(self, key, mean, cov, batch_size, niter, nprint,
+                    verbose, monitor, return_state, state):
+        """Delegate one fit to the factor route and convert states at the
+        boundary, so the GSM surface (VIState in/out, dense cov) is kept."""
+        from .distributions import safe_cholesky
+        from .gsm_factor import FactorVIState
+        from .ops.gsm_factor import factor_to_cov
+
+        fg = self._get_factor_fitter()
+        fstate = None
+        if state is not None:
+            # VIState already carries the Cholesky factor of cov — a valid
+            # sampling factor for the factor-coordinate state (eps method
+            # maintains no inverse; carry the empty placeholder).
+            fstate = FactorVIState(
+                state.mean, state.chol, jnp.zeros((0, 0), self.dtype),
+                state.key, state.step, state.n_accepted, state.n_rejected)
+        fst = fg.fit(key, mean=mean, cov=cov, batch_size=batch_size,
+                     niter=niter, nprint=nprint, verbose=verbose,
+                     monitor=monitor, return_state=True, state=fstate)
+        cov_out = factor_to_cov(fst.factor)
+        if not return_state:
+            return fst.mean, cov_out
+        return VIState(fst.mean, cov_out, safe_cholesky(cov_out), fst.key,
+                       fst.step, fst.n_accepted, fst.n_rejected)
 
     def _pallas_enabled(self, batch_size: int) -> bool:
         """Fused Pallas update: on TPU, f32, unsharded, VMEM-fitting shapes.
@@ -172,15 +239,26 @@ class GSM:
         ignoring ``key``/``mean``/``cov``.
 
         Returns (mean, cov) — or the full ``VIState`` when ``return_state``.
+
+        On TPU with a traceable ``lp_g`` (``use_factor="auto"``) the fit
+        runs on the factor-coordinate eps route — identical math, zero
+        D x D Choleskys per step, fused Pallas update where supported (see
+        __init__); sampling there uses the maintained factor instead of the
+        dense state's Cholesky, so per-step numerics differ at f32 rounding
+        while converging to the same moments.
         Note: ``check_goodness`` is accepted for parity; checking is always on
         (it is free — the Cholesky factor is needed for sampling anyway), which
         matches the reference's actual behavior (its kwarg is unused too,
         ``gsmvi/gsm.py:79,125``).
         """
-        if state is None:
-            state = init_state(key, self.D, mean, cov, self.dtype)
         probe = jax.ShapeDtypeStruct((batch_size, self.D), self.dtype)
         traceable = is_traceable(self.lp_g, probe)
+        if self._factor_route(traceable):
+            return self._fit_factor(key, mean, cov, batch_size, niter,
+                                    nprint, verbose, monitor, return_state,
+                                    state)
+        if state is None:
+            state = init_state(key, self.D, mean, cov, self.dtype)
         if not traceable and verbose:
             print("lp_g is not jax-traceable; using the eager host loop")
         state = run_fit_loop(
