@@ -55,7 +55,20 @@ from .parallel.mesh import data_sharding
 
 
 class FactorBaM:
-    """Fit a dense-covariance Gaussian by BaM updates on factor state."""
+    """Fit a dense-covariance Gaussian by BaM updates on factor state.
+
+    PERFORMANCE NOTE (measured, v5e): instantiating this class with
+    ``use_pallas=False`` (or off the fused gates) lands on the pure-XLA
+    factor route, which at small D is STRUCTURALLY ~3x slower than the
+    dense ``BaM`` class (8.1k vs 25.2k it/s @ D=64 — the per-step thin
+    SVD/QR of the (D, B+1) factor costs more than XLA's D x D Cholesky
+    there; full decomposition in docs/BENCHMARKS.md "FactorBaM small-D
+    gap").  Prefer ``BaM(use_factor="auto")`` — which routes through this
+    algebra only where it wins and picks up the fused eps-update kernel —
+    or pass ``pallas_score=`` here for the fused whole-step route (the
+    fastest BaM path at every measured D).  The pure-XLA route remains the
+    exactness oracle and the off-TPU/x64 path.
+    """
 
     def __init__(self, D, lp, lp_g, mesh=None, data_axis: str = "data",
                  dtype=None, solver: str = "auto",

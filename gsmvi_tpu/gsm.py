@@ -67,10 +67,13 @@ class GSM:
         # ``BaM.use_factor`` (round 4).  The dense path is kept for numpy
         # callables, off-TPU runs, sharded-Σ configs (``cov_sharding``/
         # ``chol_block``) and ``use_factor=False``.  ``pallas_score``
-        # additionally enables the fully-fused whole-step kernel (on-chip
-        # PRNG sampling + score + update in one Pallas call), as FactorGSM —
-        # note that path uses the TPU hardware PRNG (same distribution,
-        # different stream than jax.random).
+        # additionally enables the fully-fused whole-step kernel (sampling
+        # + score + update in one Pallas call), as FactorGSM; that path
+        # draws eps per absolute step (fold_in(key, step)) and is exactly
+        # XLA-replayable (round 5).  NOTE ``pallas_score`` is consumed only
+        # by the delegated factor route: with ``use_factor=False``, off-TPU,
+        # or a non-traceable ``lp_g`` the dense step has no whole-step
+        # kernel and the argument is inert (a warning is raised at fit).
         self.use_factor = use_factor
         self.pallas_score = pallas_score
         self._factor_fitter = None
@@ -105,9 +108,22 @@ class GSM:
         everywhere, just not always faster off-TPU).  Sharded-Σ configs keep
         the dense path: this class's ``cov_sharding``/``chol_block`` describe
         a partitioned dense covariance, not a factor."""
+        import warnings
+
         if not traceable or self.use_factor is False:
+            if self.use_factor is True and not traceable:
+                warnings.warn(
+                    "use_factor=True requested but lp_g is not "
+                    "jax-traceable; falling back to the dense eager path",
+                    stacklevel=3)
             return False
         if self.cov_sharding is not None or self.chol_fn is not None:
+            if self.use_factor is True:
+                warnings.warn(
+                    "use_factor=True requested but cov_sharding/chol_block "
+                    "describe a partitioned dense covariance the factor "
+                    "route cannot honor; using the dense sharded path",
+                    stacklevel=3)
             return False
         if self.use_factor is True:
             return True
@@ -191,7 +207,9 @@ class GSM:
             if sharding is not None:
                 eps = jax.lax.with_sharding_constraint(eps, sharding)
             samples = state.mean + eps @ state.chol.T
-            vs = lp_g(samples)
+            # Pin the score to the state dtype: a user lp_g emitting f64
+            # under global x64 would otherwise promote the scan carry.
+            vs = lp_g(samples).astype(dtype)
             if use_pallas:
                 mean_new, cov_new = gsm_update_fused(samples, vs, state.mean,
                                                      state.cov)
@@ -235,8 +253,14 @@ class GSM:
         """Run the fit; signature parity with reference ``gsmvi/gsm.py:79``.
 
         ``state`` — optional ``VIState`` (e.g. from ``return_state=True`` or
-        ``utils.checkpoint.load_state``); resumes the exact trajectory,
-        ignoring ``key``/``mean``/``cov``.
+        ``utils.checkpoint.load_state``), ignoring ``key``/``mean``/``cov``.
+        On the dense path (``use_factor=False``, off-TPU, numpy ``lp_g``,
+        or sharded-Σ configs) resume is trajectory-EXACT.  On the default
+        factor route the VIState boundary conversion hands over the
+        Cholesky of cov — a valid but different sampling factor — so
+        resume there is DISTRIBUTIONAL (same law, different draws);
+        resuming a ``FactorGSM`` fit with its own ``FactorVIState`` stays
+        exact.
 
         Returns (mean, cov) — or the full ``VIState`` when ``return_state``.
 
@@ -257,6 +281,16 @@ class GSM:
             return self._fit_factor(key, mean, cov, batch_size, niter,
                                     nprint, verbose, monitor, return_state,
                                     state)
+        if self.pallas_score is not None:
+            # ADVICE r4: pallas_score feeds the delegated factor route's
+            # whole-step kernel only — surface the silent drop.
+            import warnings
+
+            warnings.warn(
+                "pallas_score is set but the factor route is inactive for "
+                "this fit (use_factor=False, off-TPU, sharded-Σ config, or "
+                "non-traceable lp_g); the dense step has no whole-step "
+                "kernel and pallas_score is ignored", stacklevel=2)
         if state is None:
             state = init_state(key, self.D, mean, cov, self.dtype)
         if not traceable and verbose:
@@ -291,10 +325,33 @@ class GSM:
         per-step matmuls of K fits into (K, ...) batched ops that actually
         fill the MXU.  Monitors are not supported here (no per-replica host
         hooks inside the batched scan); use ``fit`` for monitored runs.
+
+        Like ``fit``, the TPU default (``use_factor="auto"`` with a
+        traceable ``lp_g``) delegates to ``FactorGSM.fit_batch`` — the
+        batched eps-coordinate step (and, round 5, the K-replica fused
+        Pallas kernel where supported); the dense vmapped step remains for
+        ``use_factor=False``/off-TPU/sharded-Σ configs (ADVICE r4).
         """
         k = keys.shape[0]
         d = self.D
         dtype = self.dtype
+
+        probe = jax.ShapeDtypeStruct((batch_size, d), dtype)
+        if self._factor_route(is_traceable(self.lp_g, probe)):
+            from .distributions import safe_cholesky
+
+            fg = self._get_factor_fitter()
+            fst = fg.fit_batch(keys, mean=mean, cov=cov,
+                               batch_size=batch_size, niter=niter,
+                               return_state=return_state)
+            if not return_state:
+                return fst
+            from .ops.gsm_factor import factor_to_cov
+
+            covs = jax.vmap(factor_to_cov)(fst.factor)
+            return VIState(fst.mean, covs, jax.vmap(safe_cholesky)(covs),
+                           fst.key, fst.step, fst.n_accepted,
+                           fst.n_rejected)
 
         from .driver import broadcast_replicas
 

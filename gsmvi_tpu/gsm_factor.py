@@ -85,12 +85,14 @@ class FactorGSM:
 
         ``use_pallas`` ("auto"/True/False) fuses the eps step into Pallas
         kernels on TPU: with ``pallas_score`` (a ``(score_fn, params)`` pair,
-        e.g. ``target.pallas_score``) the ENTIRE iteration — on-chip PRNG,
-        sampling, score, rank-2B update, exact PD check, select — is one
+        e.g. ``target.pallas_score``) the ENTIRE iteration — sampling
+        matmul, score, rank-2B update, exact PD check, select — is one
         kernel; otherwise sampling/score stay in XLA and the update+check+
-        select fuse (``gsm_eps_update_fused``).  NOTE the one-kernel path
-        uses the TPU hardware PRNG (Box-Muller), a different stream than
-        jax.random — same distribution, different trajectory.
+        select fuse (``gsm_eps_update_fused``).  The one-kernel path draws
+        eps per ABSOLUTE step (``normal(fold_in(key, step))``, round 5):
+        trajectories are invariant to ``steps_per_call``/chunk cadence,
+        exactly resumable, and replayable at the XLA level (whole-step
+        audits).
 
         ``pallas_precision`` ("highest" default | "bf16") sets the MXU pass
         count for the O(B D^2) matmuls inside the fused kernels: "bf16"
@@ -174,7 +176,9 @@ class FactorGSM:
         param_shapes = (
             [tuple(p.shape) for p in self.pallas_score[1]]
             if self.pallas_score is not None else None)
-        if not fused_supported(batch_size, self.D, param_shapes=param_shapes):
+        spc = self.steps_per_call if self.pallas_score is not None else 1
+        if not fused_supported(batch_size, self.D, param_shapes=param_shapes,
+                               steps_per_call=spc):
             return None
         if self.use_pallas == "auto" or self.use_pallas is True:
             return "step" if self.pallas_score is not None else "update"
@@ -202,39 +206,51 @@ class FactorGSM:
 
     def _make_fused_runner(self, batch_size: int):
         """Chunk runner on the multi-step kernel: dispatch amortized over
-        ``steps_per_call`` in-kernel iterations; the remainder of each chunk
-        runs on the single-step fused path (identical per-step seeds)."""
+        ``steps_per_call`` in-kernel iterations.
+
+        Per block the runner draws the eps for the next ``spc`` ABSOLUTE
+        step indices (``normal(fold_in(key, step))`` — the BaM fused
+        scheme, round 5) and hands the ``(spc*B, D)`` block to the kernel;
+        a chunk remainder reuses the same compiled kernel with a masked
+        ``nmax``.  The trajectory is therefore invariant to spc/chunk
+        cadence and exactly replayable at the XLA level."""
         from functools import partial
 
         score_fn, params = self.pallas_score
         spc = self.steps_per_call
+        d = self.D
         multi = make_fused_eps_multistep(score_fn, len(params), batch_size,
                                          self.D, spc,
                                          big_prec=self.pallas_precision,
-                                         iters=self.ns_iters)
-        single_step = self._make_step(batch_size)
+                                         iters=self.ns_iters,
+                                         interpret=self._interpret)
 
         @partial(jax.jit, static_argnums=1)
         def run_chunk(state, k):
             key = state.key
-            if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
-                kdv = jax.random.key_data(key).ravel()
-            else:
-                kdv = key.ravel()
-            kdv = kdv[-1].astype(jnp.int32)
+
+            def eps_for(s):
+                return jax.random.normal(jax.random.fold_in(key, s),
+                                         (batch_size, d), jnp.float32)
+
+            def block(s, nmax):
+                steps = s.step + jnp.arange(spc, dtype=jnp.int32)
+                eps_block = jax.vmap(eps_for)(steps)
+                mu, f, nacc = multi(nmax, eps_block, s.mean, s.factor,
+                                    *params)
+                ndone = jnp.int32(nmax)
+                return FactorVIState(
+                    mu, f, s.finv, s.key, s.step + ndone,
+                    s.n_accepted + nacc,
+                    s.n_rejected + (ndone - nacc), s.ns_stats)
+
             n_multi, rem = divmod(k, spc)
             if n_multi:
-                def body(s, _):
-                    mu, f, nacc = multi(kdv, s.step, s.mean, s.factor,
-                                        *params)
-                    return FactorVIState(
-                        mu, f, s.finv, s.key, s.step + spc,
-                        s.n_accepted + nacc,
-                        s.n_rejected + (spc - nacc)), None
-
-                state = jax.lax.scan(body, state, None, length=n_multi)[0]
-            for _ in range(rem):
-                state = single_step(state)
+                state = jax.lax.scan(
+                    lambda s, _: (block(s, spc), None), state, None,
+                    length=n_multi)[0]
+            if rem:
+                state = block(state, rem)
             return state
 
         return run_chunk
@@ -247,19 +263,26 @@ class FactorGSM:
 
         from .utils.audit import make_audit_hook, make_gsm_audit
 
-        if self._pallas_mode(batch_size) is None:
+        mode = self._pallas_mode(batch_size)
+        if mode is None:
             warnings.warn("audit_every set but the fused Pallas path is not "
                           "active for this config; no audits will run",
                           stacklevel=3)
             self.audit_log = []
             return None
+        # Whole-step audits on the one-kernel path (round 5): the external
+        # fold_in eps makes the full fused step replayable, so the audit
+        # also certifies the Pallas-traced score against lp_g.
+        score = self.pallas_score if mode == "step" else None
+        score_objs = (() if score is None else (score[0], *score[1]))
         audit_fn = self._runners.get(
-            ("audit", batch_size, self.ns_iters, self.pallas_precision,
-             self._interpret),
-            (self.lp_g,),
+            ("audit", batch_size, mode, self.ns_iters,
+             self.pallas_precision, self._interpret),
+            (self.lp_g, *score_objs),
             lambda: make_gsm_audit(self.lp_g, batch_size, self.D,
                                    self.ns_iters, self.pallas_precision,
-                                   interpret=self._interpret))
+                                   interpret=self._interpret,
+                                   pallas_score=score))
         self.audit_log = []
         return make_audit_hook(audit_fn, self.audit_log, tol, "FactorGSM")
 
@@ -286,24 +309,24 @@ class FactorGSM:
             score_fn, params = self.pallas_score
             fused = make_fused_eps_step(score_fn, len(params), batch_size, d,
                                         big_prec=self.pallas_precision,
-                                        iters=self.ns_iters)
+                                        iters=self.ns_iters,
+                                        external_eps=True,
+                                        interpret=self._interpret)
 
             def step(state: FactorVIState) -> FactorVIState:
-                # Per-step seed: fit-key data mixed with the step counter
-                # (Weyl increment) — deterministic given fit(key).  The key
+                # Per-step draw: eps = normal(fold_in(key, step)) — the key
                 # field deliberately stays CONSTANT on this path: it is the
-                # seed base and state.step the stream position, which keeps
-                # the trajectory invariant to chunk/monitor cadence and makes
-                # checkpoint-resume exact; monitors get a per-checkpoint
-                # fold_in of it from the driver (driver._monitor_key).
+                # stream base and state.step the stream position, which
+                # keeps the trajectory invariant to chunk/monitor cadence
+                # AND to steps_per_call (the multistep runner draws the
+                # identical per-absolute-step eps), makes checkpoint-resume
+                # exact, and lets audits replay any step at the XLA level;
+                # monitors get a per-checkpoint fold_in of it from the
+                # driver (driver._monitor_key).
                 key = state.key
-                if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
-                    kd = jax.random.key_data(key).ravel()
-                else:
-                    kd = key.ravel()
-                seed = kd[-1].astype(jnp.int32) ^ (
-                    state.step * jnp.int32(-1640531527))
-                mean, f, good = fused(seed, state.mean, state.factor, *params)
+                eps = jax.random.normal(jax.random.fold_in(key, state.step),
+                                        (batch_size, d), jnp.float32)
+                mean, f, good = fused(eps, state.mean, state.factor, *params)
                 g32 = good.astype(jnp.int32)
                 return FactorVIState(mean, f, state.finv, key,
                                      state.step + 1,
@@ -476,23 +499,101 @@ class FactorGSM:
             return state
         return state.mean, factor_to_cov(state.factor)
 
+    def _batch_fused_ok(self, batch_size: int, small_solver: str) -> bool:
+        """Whether ``fit_batch`` runs on the K-replica fused Pallas kernel
+        (ops/pallas/batch_fused.py): eps method, f32, a Pallas-traceable
+        score, a TPU backend (or interpret-mode tests), VMEM-fitting
+        shapes, and the fused path not explicitly disabled."""
+        if small_solver not in ("auto", "fused"):
+            return False
+        if self.method != "eps" or self.dtype != jnp.float32:
+            return False
+        if self.pallas_score is None or self.use_pallas is False:
+            return False
+        if not (on_tpu() or self._interpret):
+            return False
+        param_shapes = [tuple(p.shape) for p in self.pallas_score[1]]
+        return fused_supported(batch_size, self.D,
+                               param_shapes=param_shapes,
+                               steps_per_call=self.steps_per_call)
+
+    def _get_batch_fused_runner(self, batch_size: int, k: int):
+        from functools import partial
+
+        from .ops.pallas.batch_fused import make_fused_eps_batch_multistep
+
+        score_fn, params = self.pallas_score
+        spc = self.steps_per_call
+        d = self.D
+
+        def build():
+            multi = make_fused_eps_batch_multistep(
+                score_fn, len(params), batch_size, d, k, spc,
+                iters=self.ns_iters, big_prec=self.pallas_precision,
+                interpret=self._interpret)
+
+            @partial(jax.jit, static_argnums=1)
+            def run_chunk(state, nsteps):
+                keys = state.key
+
+                def eps_for(kk, s):
+                    return jax.random.normal(jax.random.fold_in(kk, s),
+                                             (batch_size, d), jnp.float32)
+
+                def block(s, nmax):
+                    steps = s.step[0] + jnp.arange(spc, dtype=jnp.int32)
+                    eps = jax.vmap(lambda kk: jax.vmap(
+                        lambda st: eps_for(kk, st))(steps))(keys)
+                    mu, f, nacc = multi(nmax, eps, s.mean, s.factor,
+                                        *params)
+                    nd = jnp.int32(nmax)
+                    return FactorVIState(
+                        mu, f, s.finv, s.key, s.step + nd,
+                        s.n_accepted + nacc, s.n_rejected + (nd - nacc),
+                        s.ns_stats)
+
+                n_multi, rem = divmod(nsteps, spc)
+                if n_multi:
+                    state = jax.lax.scan(
+                        lambda s, _: (block(s, spc), None), state, None,
+                        length=n_multi)[0]
+                if rem:
+                    state = block(state, rem)
+                return state
+
+            return run_chunk
+
+        return self._runners.get(
+            ("batch_fused", batch_size, k, spc, self.ns_iters,
+             self.pallas_precision, self._interpret),
+            (score_fn, *params), build)
+
     def fit_batch(self, keys, mean=None, cov=None, batch_size=2, niter=5000,
                   return_state=False, small_solver="auto"):
         """K independent FactorGSM replicas in one compiled program.
 
-        ``small_solver`` — per-replica small-space solver for the eps step:
+        ``small_solver`` — the batched per-replica step implementation:
 
-        - "auto" (default): the fused kernel's matmul-only Newton-Schulz
-          small space traced as plain XLA (``gsm_eps_update_ns_xla``) when
-          ``method="eps"`` and the dtype is f32 — the whole batched step is
-          (K-batched) matmuls, which XLA tiles onto the MXU across replicas.
-          Measured v5e @ B=32: 244k aggregate it/s at D=64/K=32 and 206k at
-          D=256/K=8 (vs the chol step's 132k / 45k, and 62k for a single
-          XLA fit).  Falls back to "chol" otherwise.
+        - "fused" (and "auto" when eligible): the K-replica fused Pallas
+          whole-step kernel (ops/pallas/batch_fused.py) — the replica axis
+          is the Pallas grid, each grid step advances one replica
+          ``steps_per_call`` fused sub-steps in VMEM; eps per replica per
+          ABSOLUTE step (``fold_in(replica_key, step)``), so each
+          replica's trajectory is bit-identical to the same-key single
+          fused ``fit``.  Requires ``pallas_score`` + TPU + f32 + eps
+          method (``_batch_fused_ok``).
+        - "auto" (default): the fused kernel when eligible, else the fused
+          kernel's matmul-only Newton-Schulz small space traced as plain
+          XLA (``gsm_eps_update_ns_xla``) when ``method="eps"`` and the
+          dtype is f32 — the whole batched step is (K-batched) matmuls,
+          which XLA tiles onto the MXU across replicas.  Measured v5e @
+          B=32: 244k aggregate it/s at D=64/K=32 and 206k at D=256/K=8
+          (vs the chol step's 132k / 45k, and 62k for a single XLA fit).
+          Falls back to "chol" otherwise.
+        - "ns": force the NS-XLA step (no Pallas).
         - "chol": the exact-PD-check Cholesky eps step
           (``ops.gsm_eps.apply_eps_step``); its batched small solves run as
           sequential panel loops on TPU — the aggregate saturates by K=8.
-        - "ns": force the NS step (raises semantics only via the f32 cast).
         """
         k = keys.shape[0]
         d = self.D
@@ -517,14 +618,23 @@ class FactorGSM:
             return FactorVIState(m, f0, finv0, kk, zero, zero, zero)
 
         state = jax.vmap(init_one)(keys, means0, covs0)
-        # Replica fits vmap the step.  The Pallas kernels are deliberately
-        # NOT used here: vmap-of-pallas_call lowers (leading grid dim,
-        # verified bit-exact on v5e) but grid cells serialize on the single
-        # TensorCore — measured SLOWER than both batched XLA paths
-        # (95k flat-in-K vs chol 124k / NS-XLA 207k aggregate it/s at
-        # D=64/K=8).  The NS-XLA step batches everything onto the MXU
-        # instead (docstring above).
-        use_ns = (small_solver in ("auto", "ns")
+
+        if self._batch_fused_ok(batch_size, small_solver):
+            state = self._get_batch_fused_runner(batch_size, k)(
+                state, niter + 1)
+            if return_state:
+                return state
+            return state.mean, jax.vmap(factor_to_cov)(state.factor)
+
+        # XLA fallback: replica fits vmap the step.  vmap-of-pallas_call of
+        # the single-replica kernel is deliberately NOT used here: it
+        # lowers (leading grid dim, verified bit-exact on v5e) but
+        # re-dispatches one grid cell per STEP per replica — measured
+        # SLOWER than both batched XLA paths (95k flat-in-K vs chol 124k /
+        # NS-XLA 207k aggregate it/s at D=64/K=8).  The K-grid MULTISTEP
+        # kernel above is the round-5 fix; the NS-XLA step remains for
+        # targets without a Pallas-traceable score.
+        use_ns = (small_solver in ("auto", "ns", "fused")
                   and self.method == "eps" and dtype == jnp.float32)
         step = jax.vmap(self._make_step(
             batch_size, allow_pallas="ns_xla" if use_ns else False))

@@ -12,20 +12,26 @@ into one or two Pallas calls:
   the two (2B x 2B) Cholesky factorizations, the triangular inverse, the
   exact PD check, and the accept/revert select all inside the kernel.  A step
   becomes: [eps op] -> [sample matmul] -> [user lp_g] -> [this kernel].
-- ``make_fused_eps_step``    — the whole step as ONE kernel for targets whose
-  score is Pallas-traceable (e.g. the analytic dense-Gaussian family):
-  on-chip PRNG (threefry-free: pltpu.prng_random_bits + Box-Muller) generates
-  eps, sampling/score/update/validity/select all stay in VMEM.  One HBM
-  round-trip per iteration, total.
+- ``make_fused_eps_step`` / ``make_fused_eps_multistep`` — the whole step
+  as ONE kernel for targets whose score is Pallas-traceable (e.g. the
+  analytic dense-Gaussian family): sampling matmul, score, update, validity
+  and select all stay in VMEM; the multistep variant loops steps_per_call
+  iterations per invocation (dispatch amortizer).  One HBM round-trip per
+  invocation, total.
 
 The small-space sequential work is 3 loops of 2B steps each (two Choleskys +
 one triangular inverse) over (2B x 2B) tiles — D-independent, unlike the
 dense path's D-step Cholesky.
 
 Numerics: f32 with explicit HIGHEST-precision matmuls (matching the pinned
-whole-step f32 policy of the jnp path).  The in-kernel PRNG stream differs
-from jax.random's threefry stream — fits agree in distribution, not in
-trajectory (same caveat as the reference's numpy-RNG break, SURVEY.md §7.1).
+whole-step f32 policy of the jnp path).  Since round 5 the fitter-facing
+whole-step path draws eps EXTERNALLY per ABSOLUTE step
+(``normal(fold_in(key, step))``, the BaM fused scheme): trajectories are
+invariant to steps_per_call/chunk cadence, exactly replayable at the XLA
+level, and interpret-testable on CPU.  The in-kernel hardware-PRNG variant
+(``make_fused_eps_step(external_eps=False)``) remains for A/B timing only —
+its Box-Muller stream differs from jax.random's threefry and cannot be
+replayed.
 """
 
 from __future__ import annotations
@@ -80,7 +86,7 @@ def _param_bytes(param_shapes, d: int, itemsize: int = 4) -> int:
 
 
 def fused_supported(b: int, d: int, itemsize: int = 4,
-                    param_shapes=None) -> bool:
+                    param_shapes=None, steps_per_call: int = 1) -> bool:
     """Gate: shapes the single-program kernel handles well.
 
     2B x 2B small tiles want sublane alignment (B multiple of 4); the row
@@ -92,14 +98,18 @@ def fused_supported(b: int, d: int, itemsize: int = 4,
     (K, D) can dwarf the default D x D assumption and must fall back to XLA
     rather than fail Mosaic compilation near the cap).  Default: one D x D
     param (the analytic-Gaussian precision).
+
+    ``steps_per_call`` — sub-steps per multistep-kernel invocation; the
+    externally-drawn ``(spc*B, D)`` eps block rides in VMEM.
     """
     if not _HAS_PLTPU:
         return False
     if b < 4 or b % 4 != 0:
         return False
     # 6x D^2: f in/out + the multi-step fori_loop's carry double-buffering;
-    # + the score params at their real sizes.
+    # + the external eps block + the score params at their real sizes.
     vmem = 6 * d * d * itemsize + 16 * b * d * itemsize \
+        + 2 * steps_per_call * b * d * itemsize \
         + 8 * (2 * b) * (2 * b) * itemsize \
         + 2 * _param_bytes(param_shapes, d, itemsize)
     return vmem < _VMEM_LIMIT_BYTES
@@ -612,35 +622,44 @@ def make_fused_eps_multistep(score_fn, n_params: int, batch: int, d: int,
                              steps_per_call: int, method: str = "ns",
                              iters=NS_ITERS_DEFAULT,
                              skip_small: bool = False,
-                             big_prec=None):
+                             big_prec=None, interpret: bool = False):
     """SPC GSM iterations per kernel invocation — the dispatch amortizer.
 
     Measured on v5e: a Pallas kernel invocation inside a scan costs ~25us of
     fixed dispatch overhead (an EMPTY kernel times at 25us/step), which
     dominates the fused step's ~15us of actual compute.  Looping
     ``steps_per_call`` iterations INSIDE the kernel — state (mean, F) held in
-    VMEM/registers, PRNG reseeded per sub-step from (key_data, step counter)
-    — amortizes that overhead to 25/SPC us.
+    VMEM/registers — amortizes that overhead to 25/SPC us.
 
-    Returns ``step(kd, step0, mean, f, *params) -> (mean, f, n_accepted)``
-    advancing ``steps_per_call`` iterations; ``kd`` is an int32 scalar derived
-    from the fit key, ``step0`` the global iteration counter (distinct
-    sub-step seeds are ``kd ^ ((step0 + j) * WEYL)``).
+    The eps block for all sub-steps arrives EXTERNALLY as a ``(spc*B, D)``
+    array (round-5 port of the BaM scheme, ops/pallas/bam_fused.py): the
+    fitter draws ``eps_j = normal(fold_in(key, absolute_step_j))`` so the
+    trajectory is (a) invariant to steps_per_call / chunk cadence, (b)
+    exactly replayable at the XLA level (whole-step audits, utils/audit.py),
+    and (c) bit-comparably testable under interpret mode on CPU CI — the
+    three properties the retired in-kernel hardware-PRNG variant lacked
+    (VERDICT r4 weak #3).
+
+    Returns ``step(nmax, eps_block, mean, f, *params) ->
+    (mean, f, n_accepted)`` advancing the first ``nmax`` (<= spc) sub-steps
+    of the block — masked, so one compiled shape serves chunk remainders.
     """
-    if not _HAS_PLTPU:
+    if not _HAS_PLTPU and not interpret:
         raise RuntimeError("fused multi-step kernel requires TPU pallas")
     if method != "ns":
         raise ValueError("multi-step kernel supports method='ns' only")
     bp = _HI if big_prec is None else big_prec
+    spc = steps_per_call
 
-    def kernel(kd_ref, step0_ref, mu_ref, f_ref, *rest):
+    def kernel(nmax_ref, eps_ref, mu_ref, f_ref, *rest):
         params = [p[:] for p in rest[:n_params]]
         mu_out, f_out, acc_out = rest[n_params:]
+        nmax = nmax_ref[0]
 
         def body(j, carry):
             mu, f, acc = carry
-            pltpu.prng_seed(kd_ref[0] ^ ((step0_ref[0] + j) * _WEYL))
-            e = _boxmuller((batch, d))
+            active = j < nmax
+            e = eps_ref[pl.ds(j * batch, batch), :]
             x = mu + jax.lax.dot_general(e, f, (((1,), (1,)), ((), ())),
                                          preferred_element_type=jnp.float32,
                                          precision=bp)
@@ -650,22 +669,26 @@ def make_fused_eps_multistep(score_fn, n_params: int, batch: int, d: int,
             mu_new, f_new, good = _eps_smallspace_ns(
                 e, v, vf, mu, f, batch=batch, iters=iters,
                 skip_small=skip_small, big_prec=bp)
-            mu = jnp.where(good, mu_new, mu)
-            f = jnp.where(good, f_new, f)
-            return (mu, f, acc + good.astype(jnp.int32))
+            accept = active & good
+            mu = jnp.where(accept, mu_new, mu)
+            f = jnp.where(accept, f_new, f)
+            return (mu, f, acc + accept.astype(jnp.int32))
 
         mu, f, acc = jax.lax.fori_loop(
-            0, steps_per_call, body,
+            0, spc, body,
             (mu_ref[:], f_ref[:], jnp.zeros((), jnp.int32)))
         mu_out[:] = mu
         f_out[:] = f
         acc_out[0, 0] = acc
 
+    smem = (dict(memory_space=pltpu.SMEM) if _HAS_PLTPU else {})
+    vmem = (dict(memory_space=pltpu.VMEM) if _HAS_PLTPU else {})
+
     @jax.jit
-    def step(kd, step0, mean, f, *params):
+    def step(nmax, eps_block, mean, f, *params):
         mu2 = mean.astype(jnp.float32).reshape(1, d)
-        kd = jnp.asarray(kd, jnp.int32).reshape(1)
-        step0 = jnp.asarray(step0, jnp.int32).reshape(1)
+        nmax = jnp.asarray(nmax, jnp.int32).reshape(1)
+        eps_block = eps_block.astype(jnp.float32).reshape(spc * batch, d)
         mu_new, f_new, acc = pl.pallas_call(
             kernel,
             out_shape=(
@@ -673,14 +696,14 @@ def make_fused_eps_multistep(score_fn, n_params: int, batch: int, d: int,
                 jax.ShapeDtypeStruct((d, d), jnp.float32),
                 jax.ShapeDtypeStruct((1, 1), jnp.int32),
             ),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
-            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 + n_params),
-            out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
-                       pl.BlockSpec(memory_space=pltpu.VMEM),
-                       pl.BlockSpec(memory_space=pltpu.SMEM)),
-            **({"compiler_params": _compiler_params(False)}
-               if _compiler_params(False) else {}),
-        )(kd, step0, mu2, f.astype(jnp.float32),
+            in_specs=[pl.BlockSpec(**smem)]
+            + [pl.BlockSpec(**vmem)] * (3 + n_params),
+            out_specs=(pl.BlockSpec(**vmem), pl.BlockSpec(**vmem),
+                       pl.BlockSpec(**smem)),
+            interpret=interpret,
+            **({"compiler_params": _compiler_params(interpret)}
+               if _compiler_params(interpret) else {}),
+        )(nmax, eps_block, mu2, f.astype(jnp.float32),
           *[p.astype(jnp.float32) for p in params])
         return mu_new[0], f_new, acc[0, 0]
 

@@ -59,21 +59,31 @@ def _moment_errors(m_f, f_f, m_x, f_x):
 
 
 def make_gsm_audit(lp_g, batch_size: int, d: int, ns_iters, big_prec,
-                   interpret: bool = False):
+                   interpret: bool = False, pallas_score=None):
     """Jitted ``(state, i) -> (mean_err, cov_err, valid)`` comparing the
-    fused GSM eps-update kernel against the exact XLA eps step on one fresh
+    fused GSM Pallas path against the exact XLA eps step on one fresh
     draw from the live state.
 
-    The update-only kernel (``gsm_eps_update_fused``) shares its NS
-    small-space chain with the whole-step kernel, so auditing it at the
-    live state's conditioning audits the same numerics the fit runs on —
-    including on the hardware-PRNG whole-step path whose own draws cannot
-    be replayed at the XLA level.  ``valid`` is False when either path
-    rejected the proposal (errors are reported as 0 then: nothing was
-    accepted to be biased).
+    With ``pallas_score`` (the fitter's ``(score_fn, params)`` pair) the
+    audit replays the WHOLE fused step — the in-kernel sampling matmul,
+    traced score and NS update — against host-side ``lp_g`` + the exact
+    XLA eps step with the IDENTICAL eps (possible since round 5: the
+    whole-step path draws eps externally per absolute step), so it also
+    certifies that the Pallas-traced score matches ``lp_g``.  Without it
+    the audit exercises the update-only kernel (``gsm_eps_update_fused``),
+    which shares its NS small-space chain with the whole-step kernel.
+    ``valid`` is False when either path rejected the proposal (errors are
+    reported as 0 then: nothing was accepted to be biased).
     """
     from ..ops.gsm_eps import apply_eps_step
-    from ..ops.pallas.fused_step import gsm_eps_update_fused
+    from ..ops.pallas.fused_step import (gsm_eps_update_fused,
+                                         make_fused_eps_step)
+
+    if pallas_score is not None:
+        score_fn, params = pallas_score
+        fused_step = make_fused_eps_step(
+            score_fn, len(params), batch_size, d, external_eps=True,
+            big_prec=big_prec, iters=ns_iters, interpret=interpret)
 
     @jax.jit
     def audit(state, i):
@@ -82,9 +92,13 @@ def make_gsm_audit(lp_g, batch_size: int, d: int, ns_iters, big_prec,
                                     (batch_size, d), jnp.float32)
             samples = state.mean + eps @ state.factor.T
             vs = lp_g(samples).astype(jnp.float32)
-            m_f, f_f, good_f = gsm_eps_update_fused(
-                eps, vs, state.mean, state.factor, iters=ns_iters,
-                big_prec=big_prec, interpret=interpret)
+            if pallas_score is not None:
+                m_f, f_f, good_f = fused_step(eps, state.mean, state.factor,
+                                              *params)
+            else:
+                m_f, f_f, good_f = gsm_eps_update_fused(
+                    eps, vs, state.mean, state.factor, iters=ns_iters,
+                    big_prec=big_prec, interpret=interpret)
             m_x, f_x, good_x = apply_eps_step(state.mean, state.factor,
                                               eps, vs)
             em, es = _moment_errors(m_f, f_f, m_x, f_x)

@@ -149,3 +149,87 @@ def test_factor_bam_fit_batch():
                            niter=300, batch_size=8, verbose=False)
     np.testing.assert_allclose(means[1], m_ref, atol=1e-8)
     np.testing.assert_allclose(covs[1], c_ref, atol=1e-8)
+
+
+def _fused_factor_gsm(t, d, **kw):
+    from gsmvi_tpu import FactorGSM
+
+    g = FactorGSM(D=d, lp=t.lp, lp_g=t.lp_g, dtype=jnp.float32,
+                  pallas_score=t.pallas_score, **kw)
+    g._interpret = True
+    return g
+
+
+def test_factor_gsm_fit_batch_fused_matches_single_fits(monkeypatch):
+    """Round-5 K-replica fused kernel (ops/pallas/batch_fused.py): every
+    replica of the batched fused fit is BIT-IDENTICAL to the same-key
+    single fused fit — eps is fold_in(replica_key, absolute_step) in both,
+    and the kernel math is the shared _eps_smallspace_ns (interpret mode).
+    niter is chosen indivisible by steps_per_call to cross the masked-
+    remainder path."""
+    import gsmvi_tpu.gsm_factor as gf_mod
+
+    monkeypatch.setattr(gf_mod, "on_tpu", lambda: True)
+    d, b, niter = 8, 8, 45
+    t = dense_gaussian(jax.random.PRNGKey(5), d, scale=0.3)
+    g = _fused_factor_gsm(t, d, steps_per_call=4)
+    keys = jax.random.split(jax.random.PRNGKey(0), 3)
+    assert g._batch_fused_ok(b, "auto")
+    st = g.fit_batch(keys, niter=niter, batch_size=b, return_state=True,
+                     small_solver="fused")
+    assert st.mean.shape == (3, d)
+    for i in range(3):
+        si = g.fit(keys[i], niter=niter, batch_size=b, verbose=False,
+                   return_state=True)
+        np.testing.assert_array_equal(np.asarray(st.mean[i]),
+                                      np.asarray(si.mean))
+        np.testing.assert_array_equal(np.asarray(st.factor[i]),
+                                      np.asarray(si.factor))
+        assert int(st.n_accepted[i]) == int(si.n_accepted)
+        assert int(st.step[i]) == int(si.step)
+
+
+def test_factor_gsm_fit_batch_fused_converges(monkeypatch):
+    """Batched fused replicas recover the target moments end-to-end."""
+    import gsmvi_tpu.gsm_factor as gf_mod
+
+    monkeypatch.setattr(gf_mod, "on_tpu", lambda: True)
+    d = 8
+    t = dense_gaussian(jax.random.PRNGKey(5), d, scale=0.3)
+    g = _fused_factor_gsm(t, d, steps_per_call=8)
+    keys = jax.random.split(jax.random.PRNGKey(1), 4)
+    means, covs = g.fit_batch(keys, niter=400, batch_size=8,
+                              small_solver="fused")
+    cscale = float(np.abs(np.asarray(t.cov)).max())
+    for i in range(4):
+        np.testing.assert_allclose(np.asarray(means[i]), np.asarray(t.mean),
+                                   atol=0.05)
+        np.testing.assert_allclose(np.asarray(covs[i]), np.asarray(t.cov),
+                                   atol=0.08 * cscale)
+
+
+def test_gsm_class_fit_batch_routes_to_factor(monkeypatch):
+    """ADVICE r4: the GSM class's TPU default delegates fit_batch to
+    FactorGSM.fit_batch (like fit); the dense vmapped step stays for
+    use_factor=False."""
+    import gsmvi_tpu.gsm as gsm_mod
+
+    monkeypatch.setattr(gsm_mod, "on_tpu", lambda: True)
+    d = 8
+    t = dense_gaussian(jax.random.PRNGKey(5), d, scale=0.3)
+    g = GSM(D=d, lp=t.lp, lp_g=t.lp_g, dtype=jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(0), 3)
+    means, covs = g.fit_batch(keys, niter=300, batch_size=8)
+    fg = g._get_factor_fitter()
+    m_ref, c_ref = fg.fit_batch(keys, niter=300, batch_size=8)
+    np.testing.assert_array_equal(np.asarray(means), np.asarray(m_ref))
+    np.testing.assert_array_equal(np.asarray(covs), np.asarray(c_ref))
+
+    st = g.fit_batch(keys, niter=10, batch_size=8, return_state=True)
+    assert st.cov.shape == (3, d, d) and st.chol.shape == (3, d, d)
+
+    g_dense = GSM(D=d, lp=t.lp, lp_g=t.lp_g, dtype=jnp.float32,
+                  use_factor=False)
+    m_d, c_d = g_dense.fit_batch(keys, niter=300, batch_size=8)
+    np.testing.assert_allclose(np.asarray(m_d[0]), np.asarray(t.mean),
+                               atol=0.05)
