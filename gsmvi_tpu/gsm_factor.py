@@ -123,8 +123,11 @@ class FactorGSM:
         self.steps_per_call = (steps_per_call if steps_per_call is not None
                                else (16 if D <= 128 else 8))
         # Mosaic lowers only DEFAULT (1-pass bf16, f32 accumulate) and
-        # HIGHEST (full f32) dot precisions — Precision.HIGH has no TPU
-        # kernel lowering.
+        # HIGHEST (full f32) dot precisions — Precision.HIGH (3-pass
+        # bf16x3, ~f32 accuracy at half the HIGHEST MXU passes) has no TPU
+        # kernel lowering, so "high" disables the fused kernels and runs
+        # the XLA eps paths (where it is a pure big-matmul speedup; round-5
+        # fit_batch measurements in docs/BENCHMARKS.md).
         # Newton-Schulz sweep counts for the in-kernel small space
         # (sqrt1, inv1, inv2, sqrt2, inv3).  The default is the measured
         # accuracy/speed frontier on v5e with the sharp inf-norm spectral
@@ -136,6 +139,7 @@ class FactorGSM:
         self.ns_iters = tuple(ns_iters)
         self.pallas_precision = {
             "highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
             "bf16": jax.lax.Precision.DEFAULT,
         }[pallas_precision]
         # Optional NamedSharding splitting the (D, D) factor over a model
@@ -152,6 +156,10 @@ class FactorGSM:
     def _pallas_mode(self, batch_size: int):
         """None | "update" | "step" — which fused kernel this config uses."""
         if self.method != "eps":
+            return None
+        # Precision.HIGH has no Mosaic lowering: "high" is an XLA-path-only
+        # option (see __init__); the fused kernels stay off.
+        if self.pallas_precision == jax.lax.Precision.HIGH:
             return None
         # The fused kernels keep F in VMEM on one chip — they cannot honor a
         # model-sharded factor; the generic XLA step (which applies the
@@ -374,12 +382,13 @@ class FactorGSM:
                 with jax.default_matmul_precision("float32"):
                     key, key_sample = jax.random.split(state.key)
                     eps = jax.random.normal(key_sample, (batch_size, d), dtype)
-                    samples = state.mean + eps @ state.factor.T
+                    ef = eps @ state.factor.T
+                    samples = state.mean + ef
                     vs = lp_g(samples)
                     mean, f, good = gsm_eps_update_fused(
                         eps, vs.astype(jnp.float32), state.mean,
                         state.factor, iters=ns_iters, big_prec=big_prec,
-                        interpret=interpret)
+                        interpret=interpret, ef=ef.astype(jnp.float32))
                     g32 = good.astype(jnp.int32)
                     return FactorVIState(mean, f, state.finv, key,
                                          state.step + 1,
@@ -397,15 +406,20 @@ class FactorGSM:
             eps = jax.random.normal(key_sample, (batch_size, d), dtype)
             if sharding is not None:
                 eps = jax.lax.with_sharding_constraint(eps, sharding)
-            samples = state.mean + eps @ state.factor.T
+            ef = eps @ state.factor.T
+            samples = state.mean + ef
             # Pin the score to the state dtype: a user lp_g emitting f64
             # under global x64 would otherwise promote the whole carry.
             vs = lp_g(samples).astype(dtype)
             if method == "eps":
                 if use_ns_xla:
+                    # ef is shared with the update (round-5 F-traffic
+                    # restructure): the batched-replica step streams the
+                    # (K, D, D) factor once less per step.
                     mean, f, good = gsm_eps_update_ns_xla(
                         eps, vs, state.mean, state.factor,
-                        iters=self.ns_iters, big_prec=self.pallas_precision)
+                        iters=self.ns_iters, big_prec=self.pallas_precision,
+                        ef_t=ef.astype(jnp.float32))
                 else:
                     mean, f, good = apply_eps_step(state.mean, state.factor,
                                                    eps, vs)
@@ -501,12 +515,22 @@ class FactorGSM:
 
     def _batch_fused_ok(self, batch_size: int, small_solver: str) -> bool:
         """Whether ``fit_batch`` runs on the K-replica fused Pallas kernel
-        (ops/pallas/batch_fused.py): eps method, f32, a Pallas-traceable
-        score, a TPU backend (or interpret-mode tests), VMEM-fitting
-        shapes, and the fused path not explicitly disabled."""
-        if small_solver not in ("auto", "fused"):
+        (ops/pallas/batch_fused.py): explicit ``small_solver="fused"`` plus
+        eps method, f32, a Pallas-traceable score, a TPU backend (or
+        interpret-mode tests), and VMEM-fitting shapes.
+
+        NOT part of "auto": measured on v5e (round 5, .scratch/r5_probe5),
+        the grid kernel's replicas SERIALIZE on the single TensorCore —
+        86-97k aggregate it/s at every (D, K) probed, i.e. ~the single-fit
+        fused rate — while the batched NS-XLA step reaches 143k/176k
+        aggregate at D=256 K=8/32 and 241k at D=64 K=32.  "fused" buys
+        per-replica bit-identity with same-key single fused fits, not
+        aggregate throughput."""
+        if small_solver != "fused":
             return False
         if self.method != "eps" or self.dtype != jnp.float32:
+            return False
+        if self.pallas_precision == jax.lax.Precision.HIGH:
             return False
         if self.pallas_score is None or self.use_pallas is False:
             return False
@@ -574,22 +598,27 @@ class FactorGSM:
 
         ``small_solver`` — the batched per-replica step implementation:
 
-        - "fused" (and "auto" when eligible): the K-replica fused Pallas
-          whole-step kernel (ops/pallas/batch_fused.py) — the replica axis
-          is the Pallas grid, each grid step advances one replica
-          ``steps_per_call`` fused sub-steps in VMEM; eps per replica per
-          ABSOLUTE step (``fold_in(replica_key, step)``), so each
-          replica's trajectory is bit-identical to the same-key single
-          fused ``fit``.  Requires ``pallas_score`` + TPU + f32 + eps
-          method (``_batch_fused_ok``).
-        - "auto" (default): the fused kernel when eligible, else the fused
-          kernel's matmul-only Newton-Schulz small space traced as plain
-          XLA (``gsm_eps_update_ns_xla``) when ``method="eps"`` and the
-          dtype is f32 — the whole batched step is (K-batched) matmuls,
-          which XLA tiles onto the MXU across replicas.  Measured v5e @
-          B=32: 244k aggregate it/s at D=64/K=32 and 206k at D=256/K=8
-          (vs the chol step's 132k / 45k, and 62k for a single XLA fit).
-          Falls back to "chol" otherwise.
+        - "auto" (default): the fused kernel's matmul-only Newton-Schulz
+          small space traced as plain XLA (``gsm_eps_update_ns_xla``) when
+          ``method="eps"`` and the dtype is f32 — the whole batched step
+          is (K-batched) matmuls, which XLA tiles onto the MXU across
+          replicas; since round 5 the step shares the sampling product and
+          applies the factor correction as one fat (D, 2B) contraction
+          (5 F-sized contractions/step instead of 8).  Measured v5e @
+          B=32 (round 5): aggregate 143k/176k it/s at D=256 K=8/32, 241k
+          at D=64 K=32 (vs the chol step's ~45-132k and ~30k for a single
+          XLA fit).  Falls back to "chol" otherwise.
+        - "fused": the K-replica fused Pallas whole-step kernel
+          (ops/pallas/batch_fused.py) — the replica axis is the Pallas
+          grid, each grid step advances one replica ``steps_per_call``
+          fused sub-steps in VMEM; eps per replica per ABSOLUTE step
+          (``fold_in(replica_key, step)``), so each replica's trajectory
+          is BIT-IDENTICAL to the same-key single fused ``fit``.  Requires
+          ``pallas_score`` + TPU + f32 + eps method.  Measured: grid
+          replicas serialize on the one TensorCore (~86-97k aggregate at
+          every (D, K) probed) — choose it for exactness/auditability of
+          batched runs, not aggregate throughput (the measured ceiling
+          study lives in docs/BENCHMARKS.md round-5 fit_batch section).
         - "ns": force the NS-XLA step (no Pallas).
         - "chol": the exact-PD-check Cholesky eps step
           (``ops.gsm_eps.apply_eps_step``); its batched small solves run as

@@ -17,10 +17,23 @@ entirely in VMEM, and writes it back — so ONE kernel dispatch covers
 ``K * steps_per_call`` replica-steps.  eps arrives externally per replica
 per ABSOLUTE step (``normal(fold_in(replica_key, step))``), which makes
 every replica's trajectory bit-identical to the same-key single fused fit
-(tests/test_fit_batch.py) and the whole thing interpret-testable.
+(tests/test_fit_batch.py, verified bit-exact on v5e hardware) and the
+whole thing interpret-testable.
 
-Measured numbers for this kernel vs the batched NS-XLA step live in
-docs/BENCHMARKS.md (round-5 fit_batch section) and BENCH_MATRIX.json.
+MEASURED CEILING (v5e, round 5 — .scratch/r5_probe{2,3,4,5}.json,
+docs/BENCHMARKS.md round-5 fit_batch section): grid cells run on the
+chip's ONE TensorCore, so replica compute serializes and the aggregate
+saturates at ~the single-fit fused rate (86-97k it/s at every (D, K)
+probed at D=256/64) — below the batched NS-XLA step (143k/176k @ D=256
+K=8/32, 241k @ D=64 K=32), whose K-batched matmuls share op overhead
+across replicas.  The two routes hit DIFFERENT hardware walls: Pallas
+keeps F in VMEM but serializes the MXU; XLA batches the MXU but streams
+the (K, D, D) factor from HBM every op (precision ablation: HIGHEST ->
+HIGH is -4%, so MXU passes are nearly free — the step is op/memory-bound,
+not FLOP-bound).  Neither wall moves without more cores or more VMEM.
+``fit_batch`` therefore defaults to the NS-XLA route and offers this
+kernel as ``small_solver="fused"`` — the trajectory-exact, audit-friendly
+batched option.
 """
 
 from __future__ import annotations
@@ -67,14 +80,16 @@ def make_fused_eps_batch_multistep(score_fn, n_params: int, batch: int,
             mu, f, acc = carry
             active = j < nmax
             e = eps_ref[pl.ds(j * batch, batch), :]
-            x = mu + jax.lax.dot_general(e, f, (((1,), (1,)), ((), ())),
-                                         preferred_element_type=jnp.float32,
-                                         precision=bp)
+            ef = jax.lax.dot_general(e, f, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32,
+                                     precision=bp)
+            x = mu + ef
             v = score_fn(x, *params)
             vf = jnp.dot(v, f, preferred_element_type=jnp.float32,
                          precision=bp)
             mu_new, f_new, good = _eps_smallspace_ns(
-                e, v, vf, mu, f, batch=batch, iters=iters, big_prec=bp)
+                e, v, vf, mu, f, batch=batch, iters=iters, big_prec=bp,
+                ef_t=ef)
             accept = active & good
             mu = jnp.where(accept, mu_new, mu)
             f = jnp.where(accept, f_new, f)
@@ -85,7 +100,10 @@ def make_fused_eps_batch_multistep(score_fn, n_params: int, batch: int,
             (mu_ref[:], f_ref[:], jnp.zeros((), jnp.int32)))
         mu_out[:] = mu
         f_out[:] = f
-        acc_out[0, 0] = acc
+        # Vector-shaped store: Mosaic rejects scalar stores to VMEM refs
+        # (the non-grid kernels put this counter in SMEM, which blocked
+        # grid outputs don't support).
+        acc_out[:] = jnp.full((1, 1), acc, jnp.int32)
 
     smem = (dict(memory_space=pltpu.SMEM) if _HAS_PLTPU else {})
     vmem = (dict(memory_space=pltpu.VMEM) if _HAS_PLTPU else {})

@@ -214,7 +214,7 @@ def _newton_inv(a, iters: int):
 
 def _eps_smallspace_ns(e, v, vf, mu, f, *, batch: int, tol: float = 3e-3,
                        iters=NS_ITERS_DEFAULT, skip_small: bool = False,
-                       big_prec=None):
+                       big_prec=None, ef_t=None):
     """Loop-free small-space core: two-phase (PSD update then PSD downdate)
     factorization of M = I + (eps^T eps - C^T C)/B with matmul-only
     Newton-Schulz/Newton-Hotelling small solves.
@@ -231,12 +231,29 @@ def _eps_smallspace_ns(e, v, vf, mu, f, *, batch: int, tol: float = 3e-3,
     ``big_prec`` (default HIGHEST) relaxes ONLY the O(B D^2) matmuls (the
     FLOP-dominant ones at large D); the (B, B) small-space numerics — whose
     accuracy the PD gates depend on — always run at HIGHEST.
+
+    ``ef_t`` — optional precomputed ``e @ F^T`` (B, D).  Every caller
+    already forms this product for sampling (``x = mu + e @ F^T``); passing
+    it in removes a duplicate O(B D^2) contraction.
+
+    ROUND-5 RESTRUCTURE (op-count / F-traffic minimization — measured on
+    v5e, the batched-replica XLA step is HBM-traffic-bound on the (K, D, D)
+    factor and the in-kernel step is MXU-pass-bound, NOT FLOP-bound):
+    the two rank-B factor corrections apply as ONE (D, 2B) @ (2B, D)
+    contraction (same exact algebra, better MXU K-dim utilization), and
+    the (Fw1 Xi~)^T row tensor is formed from already-available row
+    objects (ef_t, t) instead of a fresh O(B D^2) contraction against Fw1:
+        Xi~^T F^T = zc (C F^T - (cui Ec) (E F^T)),  C F^T = -gamma ef + r t
+        (Fw1 Xi~)^T = Xi~^T F^T + (Xi~^T W1row^T) U1row.
+    Net: 5 F-sized contractions per step (ef, score, vf, t, fat-apply)
+    instead of 8, and the factor is read/written once.
     """
     b = batch
     bp = _HI if big_prec is None else big_prec
 
-    def mm(x, y):
-        return jnp.dot(x, y, preferred_element_type=jnp.float32, precision=_HI)
+    def mm(x, y, prec=_HI):
+        return jnp.dot(x, y, preferred_element_type=jnp.float32,
+                       precision=prec)
 
     def mm_t(x, y, prec=_HI):
         return jax.lax.dot_general(x, y, (((1,), (1,)), ((), ())),
@@ -248,7 +265,8 @@ def _eps_smallspace_ns(e, v, vf, mu, f, *, batch: int, tol: float = 3e-3,
                                    preferred_element_type=jnp.float32,
                                    precision=prec)
 
-    a = -mm_t(e, f, bp)                                    # (B, D) rows mu - x
+    ef = mm_t(e, f, bp) if ef_t is None else ef_t          # (B, D)
+    a = -ef                                                # rows mu - x
     t = mm_t(vf, f, bp)
     vsv = jnp.sum(v * t, axis=1, keepdims=True)
     mv = jnp.sum(a * v, axis=1, keepdims=True)
@@ -283,7 +301,8 @@ def _eps_smallspace_ns(e, v, vf, mu, f, *, batch: int, tol: float = 3e-3,
     #   Xi~^T = [C - (cui @ (Zu^T Zc scaled)) applied through eps] / sqrt(B).
     ec = mm_t(e, c) * scale2                               # B Zu^T Zc (B, B)
     zc_scale = 1.0 / jnp.sqrt(jnp.float32(b))
-    xim_t = (c - t_mm(mm(cui, ec), e)) * zc_scale          # (B, D)
+    cuiec = mm(cui, ec)                                    # (B, B)
+    xim_t = (c - t_mm(cuiec, e)) * zc_scale                # (B, D)
 
     # Phase 2: downdate by Xi~ Xi~^T.
     gv = mm_t(xim_t, xim_t)                                # (B, B)
@@ -295,11 +314,20 @@ def _eps_smallspace_ns(e, v, vf, mu, f, *, batch: int, tol: float = 3e-3,
     cv = -_newton_inv(eye_b + s2, iters[4])
     good = (res1 < tol) & (res2 < tol)
 
-    # F' = F W1 W2 = (F + (F Zu)(cu Zu^T)) (I + Xi~ cv Xi~^T)
-    fzu_t = a * (-zc_scale)                                # (B, D) = (F Zu)^T
-    fw1 = f + t_mm(fzu_t, mm(cu, e) * zc_scale, bp)        # F + F Zu cu Zu^T
-    fw1xi_t = mm_t(xim_t, fw1, bp)                         # (B, D) = (Fw1 Xi~)^T
-    f_new = fw1 + t_mm(fw1xi_t, mm(cv, xim_t), bp)
+    # F' = F W1 W2 = (F + U1 W1row)(I + Xi~ cv Xi~^T)
+    #    = F + U1 W1row + (Fw1 Xi~) (cv Xi~^T)
+    # with U1 = F Zu (carried transposed as rows), W1row = cu Zu^T.
+    u1row = a * (-zc_scale)                                # (B, D) = (F Zu)^T
+    w1row = mm(cu, e) * zc_scale                           # (B, D) = cu Zu^T
+    # (Fw1 Xi~)^T from row objects only:
+    #   Xi~^T F^T  = zc (C F^T - cuiec (E F^T)),  C F^T = -gamma ef + r t
+    #   (Fw1 Xi~)^T = Xi~^T F^T + (Xi~^T W1row^T) U1row
+    ximf_t = (-gamma * ef + inv1r * t - t_mm(cuiec, ef)) * zc_scale
+    fw1xi_t = ximf_t + mm(mm_t(xim_t, w1row), u1row)       # (B, D)
+    w2row = mm(cv, xim_t)                                  # (B, D)
+    stack_u = jnp.concatenate([u1row, fw1xi_t], axis=0)    # (2B, D)
+    stack_w = jnp.concatenate([w1row, w2row], axis=0)      # (2B, D)
+    f_new = f + t_mm(stack_u, stack_w, bp)                 # one fat update
     return mu + dmu, f_new, good
 
 
@@ -388,9 +416,16 @@ def _update_kernel(eps_ref, vs_ref, mu_ref, f_ref, mu_out, f_out, good_out,
     good_out[0, 0] = good.astype(jnp.int32)
 
 
-def _update_kernel_ns(eps_ref, vs_ref, mu_ref, f_ref, mu_out, f_out,
-                      good_out, *, batch: int, iters=NS_ITERS_DEFAULT,
-                      big_prec=None):
+def _update_kernel_ns(*refs, batch: int, iters=NS_ITERS_DEFAULT,
+                      big_prec=None, has_ef: bool = False):
+    if has_ef:
+        eps_ref, vs_ref, mu_ref, f_ref, ef_ref = refs[:5]
+        mu_out, f_out, good_out = refs[5:]
+        ef = ef_ref[:]
+    else:
+        eps_ref, vs_ref, mu_ref, f_ref = refs[:4]
+        mu_out, f_out, good_out = refs[4:]
+        ef = None
     bp = _HI if big_prec is None else big_prec
     e = eps_ref[:]
     v = vs_ref[:]
@@ -398,7 +433,8 @@ def _update_kernel_ns(eps_ref, vs_ref, mu_ref, f_ref, mu_out, f_out,
     f = f_ref[:]
     vf = jnp.dot(v, f, preferred_element_type=jnp.float32, precision=bp)
     mu_new, f_new, good = _eps_smallspace_ns(e, v, vf, mu, f, batch=batch,
-                                             iters=iters, big_prec=bp)
+                                             iters=iters, big_prec=bp,
+                                             ef_t=ef)
     mu_out[:] = jnp.where(good, mu_new, mu)
     f_out[:] = jnp.where(good, f_new, f)
     good_out[0, 0] = good.astype(jnp.int32)
@@ -408,11 +444,15 @@ def _update_kernel_ns(eps_ref, vs_ref, mu_ref, f_ref, mu_out, f_out,
                                              "iters", "big_prec"))
 def gsm_eps_update_fused(eps, vs, mean, f, jitter: float = 1e-6,
                          interpret: bool = False, method: str = "ns",
-                         iters=NS_ITERS_DEFAULT, big_prec=None):
+                         iters=NS_ITERS_DEFAULT, big_prec=None, ef=None):
     """Fused eps-coordinate GSM update + validity + select (one kernel).
 
     Drop-in for ``ops.gsm_eps.apply_eps_step``: returns (mean, f, good) with
     the old values already selected back on PD failure.  f32 only.
+
+    ``ef`` — optional precomputed ``eps @ F^T`` (the sampling product the
+    caller already formed); passing it drops one O(B D^2) in-kernel
+    contraction (round-5 restructure).
 
     ``method``:
     - "ns" (default): matmul-only two-phase Newton-Schulz small space — no
@@ -429,10 +469,13 @@ def gsm_eps_update_fused(eps, vs, mean, f, jitter: float = 1e-6,
     k2 = 2 * b
 
     specs = dict(memory_space=pltpu.VMEM) if _HAS_PLTPU else {}
+    inputs = [eps, vs, mu2, f]
     if method == "ns":
         kernel = functools.partial(_update_kernel_ns, batch=b, iters=iters,
-                                   big_prec=big_prec)
+                                   big_prec=big_prec, has_ef=ef is not None)
         scratch = []
+        if ef is not None:
+            inputs.append(ef.astype(dtype))
     else:
         kernel = functools.partial(_update_kernel, batch=b, jitter=jitter)
         scratch = [
@@ -447,7 +490,7 @@ def gsm_eps_update_fused(eps, vs, mean, f, jitter: float = 1e-6,
             jax.ShapeDtypeStruct((d, d), dtype),
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
         ),
-        in_specs=[pl.BlockSpec(**specs)] * 4,
+        in_specs=[pl.BlockSpec(**specs)] * len(inputs),
         out_specs=(pl.BlockSpec(**specs), pl.BlockSpec(**specs),
                    pl.BlockSpec(memory_space=pltpu.SMEM) if _HAS_PLTPU
                    else pl.BlockSpec()),
@@ -455,13 +498,13 @@ def gsm_eps_update_fused(eps, vs, mean, f, jitter: float = 1e-6,
         interpret=interpret,
         **({"compiler_params": _compiler_params(interpret)}
            if _compiler_params(interpret) else {}),
-    )(eps, vs, mu2, f)
+    )(*inputs)
     return mu_new[0], f_new, good[0, 0] > 0
 
 
 @functools.partial(jax.jit, static_argnames=("iters", "big_prec"))
 def gsm_eps_update_ns_xla(eps, vs, mean, f, iters=NS_ITERS_DEFAULT,
-                          big_prec=None):
+                          big_prec=None, ef_t=None):
     """Plain-XLA twin of ``gsm_eps_update_fused``: identical matmul-only
     Newton-Schulz small-space math, traced as ordinary XLA ops (no
     ``pallas_call``).  Exists for BATCHED replica fits (``fit_batch``):
@@ -487,8 +530,11 @@ def gsm_eps_update_ns_xla(eps, vs, mean, f, iters=NS_ITERS_DEFAULT,
     f = f.astype(dtype)
     bp = _HI if big_prec is None else big_prec
     vf = jnp.dot(vs, f, preferred_element_type=dtype, precision=bp)
+    if ef_t is not None:
+        ef_t = ef_t.astype(dtype)
     mu_new, f_new, good = _eps_smallspace_ns(
-        eps, vs, vf, mu0.reshape(1, d), f, batch=b, iters=iters, big_prec=bp)
+        eps, vs, vf, mu0.reshape(1, d), f, batch=b, iters=iters, big_prec=bp,
+        ef_t=ef_t)
     mean_o = jnp.where(good, mu_new[0], mu0)
     f_o = jnp.where(good, f_new, f)
     return mean_o, f_o, good
@@ -557,9 +603,10 @@ def make_fused_eps_step(score_fn, n_params: int, batch: int, d: int,
             e = _boxmuller((batch, d))
         mu = mu_ref[:]
         f = f_ref[:]
-        x = mu + jax.lax.dot_general(e, f, (((1,), (1,)), ((), ())),
-                                     preferred_element_type=jnp.float32,
-                                     precision=bp)
+        ef = jax.lax.dot_general(e, f, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32,
+                                 precision=bp)
+        x = mu + ef
         v = score_fn(x, *[p[:] for p in params_refs])
         if method == "ns":
             vf = jnp.dot(v, f, preferred_element_type=jnp.float32,
@@ -567,7 +614,8 @@ def make_fused_eps_step(score_fn, n_params: int, batch: int, d: int,
             mu_new, f_new, good = _eps_smallspace_ns(e, v, vf, mu, f,
                                                      batch=batch,
                                                      big_prec=bp,
-                                                     iters=iters)
+                                                     iters=iters,
+                                                     ef_t=ef)
             mu_out[:] = jnp.where(good, mu_new, mu)
             f_out[:] = jnp.where(good, f_new, f)
             good_out[0, 0] = good.astype(jnp.int32)
@@ -660,15 +708,16 @@ def make_fused_eps_multistep(score_fn, n_params: int, batch: int, d: int,
             mu, f, acc = carry
             active = j < nmax
             e = eps_ref[pl.ds(j * batch, batch), :]
-            x = mu + jax.lax.dot_general(e, f, (((1,), (1,)), ((), ())),
-                                         preferred_element_type=jnp.float32,
-                                         precision=bp)
+            ef = jax.lax.dot_general(e, f, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32,
+                                     precision=bp)
+            x = mu + ef
             v = score_fn(x, *params)
             vf = jnp.dot(v, f, preferred_element_type=jnp.float32,
                          precision=bp)
             mu_new, f_new, good = _eps_smallspace_ns(
                 e, v, vf, mu, f, batch=batch, iters=iters,
-                skip_small=skip_small, big_prec=bp)
+                skip_small=skip_small, big_prec=bp, ef_t=ef)
             accept = active & good
             mu = jnp.where(accept, mu_new, mu)
             f = jnp.where(accept, f_new, f)

@@ -174,7 +174,8 @@ def test_factor_gsm_fit_batch_fused_matches_single_fits(monkeypatch):
     t = dense_gaussian(jax.random.PRNGKey(5), d, scale=0.3)
     g = _fused_factor_gsm(t, d, steps_per_call=4)
     keys = jax.random.split(jax.random.PRNGKey(0), 3)
-    assert g._batch_fused_ok(b, "auto")
+    assert g._batch_fused_ok(b, "fused")
+    assert not g._batch_fused_ok(b, "auto")  # throughput default stays NS
     st = g.fit_batch(keys, niter=niter, batch_size=b, return_state=True,
                      small_solver="fused")
     assert st.mean.shape == (3, d)
