@@ -4,6 +4,13 @@ No reference equivalent: this is TPU-native batching of whole fits — K
 random-restart replicas (or per-replica warm starts) whose small per-step
 matmuls batch into MXU-filling ops.
 
+On TPU the GSM class delegates this to ``FactorGSM.fit_batch`` (the
+batched eps-coordinate step); ``FactorGSM.fit_batch(small_solver="fused",
+pallas_score=...)`` additionally offers the K-replica fused Pallas kernel,
+whose replicas are bit-identical to same-key single fused fits (the
+trajectory-exact batched option — see docs/BENCHMARKS.md round 5 for the
+measured throughput trade).
+
 Run: python examples/example_fit_batch.py
 """
 

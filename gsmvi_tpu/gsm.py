@@ -101,13 +101,21 @@ class GSM:
                 self._make_step(batch_size))
         return self._runners[batch_size]
 
-    def _factor_route(self, traceable: bool) -> bool:
+    def _factor_route(self, traceable: bool, batch_size: int) -> bool:
         """Whether this ``fit`` call runs on the factor-coordinate (eps)
         route.  "auto" requires a TPU (where the eps step is a measured win —
         no per-step D x D Cholesky); ``True`` forces it anywhere (exact
         everywhere, just not always faster off-TPU).  Sharded-Σ configs keep
         the dense path: this class's ``cov_sharding``/``chol_block`` describe
-        a partitioned dense covariance, not a factor."""
+        a partitioned dense covariance, not a factor.
+
+        Huge Monte-Carlo batches (B >= 128 with 2B > D) also keep the dense
+        path: the eps route's rank-2B small space is then no smaller than D
+        itself — measured at D=256/B=512, its (2B)^2 chains collapse
+        throughput ~10x below the dense O(B D^2)+chol step (round-5 batch
+        sweep).  Small-D/small-B configs are unaffected (either path is
+        trivially fast there, and the batch-aware NS profile keeps the
+        factor route accurate)."""
         import warnings
 
         if not traceable or self.use_factor is False:
@@ -123,6 +131,14 @@ class GSM:
                     "use_factor=True requested but cov_sharding/chol_block "
                     "describe a partitioned dense covariance the factor "
                     "route cannot honor; using the dense sharded path",
+                    stacklevel=3)
+            return False
+        if batch_size >= 128 and 2 * batch_size > self.D:
+            if self.use_factor is True:
+                warnings.warn(
+                    "use_factor=True requested but 2*batch_size > D — the "
+                    "rank-2B eps small space is no smaller than the dense "
+                    "problem and measurably slower; using the dense path",
                     stacklevel=3)
             return False
         if self.use_factor is True:
@@ -277,7 +293,7 @@ class GSM:
         """
         probe = jax.ShapeDtypeStruct((batch_size, self.D), self.dtype)
         traceable = is_traceable(self.lp_g, probe)
-        if self._factor_route(traceable):
+        if self._factor_route(traceable, batch_size):
             return self._fit_factor(key, mean, cov, batch_size, niter,
                                     nprint, verbose, monitor, return_state,
                                     state)
@@ -337,7 +353,7 @@ class GSM:
         dtype = self.dtype
 
         probe = jax.ShapeDtypeStruct((batch_size, d), dtype)
-        if self._factor_route(is_traceable(self.lp_g, probe)):
+        if self._factor_route(is_traceable(self.lp_g, probe), batch_size):
             from .distributions import safe_cholesky
 
             fg = self._get_factor_fitter()

@@ -29,6 +29,7 @@ from .ops.gsm_eps import apply_eps_step
 from .ops.gsm_factor import (factor_gsm_step_stats, factor_gsm_step_stats_v2,
                              factor_refresh, factor_to_cov)
 from .ops.pallas.fused_step import (NS_ITERS_DEFAULT, fused_supported,
+                                    ns_iters_for_batch,
                                     gsm_eps_update_fused,
                                     gsm_eps_update_ns_xla,
                                     make_fused_eps_multistep,
@@ -74,7 +75,7 @@ class FactorGSM:
                  method: str = "eps", use_pallas: "bool | str" = "auto",
                  pallas_score=None, steps_per_call=None,
                  cov_sharding=None, pallas_precision: str = "highest",
-                 ns_iters=NS_ITERS_DEFAULT):
+                 ns_iters=None):
         """``method``:
         - "eps" (default): eps-coordinate update (ops/gsm_eps.py) — the
           state is (mean, F) only; no maintained inverse, no QR, no eigh;
@@ -136,7 +137,10 @@ class FactorGSM:
         # NOT slow bias — cutting iters[2] (the W1^{-1} inverse) below 6
         # measurably degrades converged cov_err (0.0026 -> 0.017) with zero
         # rejections.  Validate convergence when changing this.
-        self.ns_iters = tuple(ns_iters)
+        # None = batch-aware auto (ns_iters_for_batch): the short profile
+        # is validated at B <= 32 only; B >= 64 silently biases it and gets
+        # the longer chains (round-5 CPU study, fused_step.py note).
+        self.ns_iters = tuple(ns_iters) if ns_iters is not None else None
         self.pallas_precision = {
             "highest": jax.lax.Precision.HIGHEST,
             "high": jax.lax.Precision.HIGH,
@@ -192,6 +196,11 @@ class FactorGSM:
             return "step" if self.pallas_score is not None else "update"
         return None
 
+    def _iters(self, batch_size: int):
+        """NS profile for this batch: user override or the batch-aware
+        default (``ns_iters_for_batch`` — B <= 32 short, else long)."""
+        return ns_iters_for_batch(batch_size, self.ns_iters)
+
     def _get_runner(self, batch_size: int):
         # The key covers everything the compiled runner closes over:
         # hashable config inline, the pallas_score pair by pinned identity
@@ -209,7 +218,8 @@ class FactorGSM:
 
         return self._runners.get(
             (batch_size, mode, self.steps_per_call, self.method,
-             self.ns_iters, self.pallas_precision, self.refresh_every,
+             self._iters(batch_size), self.pallas_precision,
+             self.refresh_every,
              self._interpret), score_objs, build)
 
     def _make_fused_runner(self, batch_size: int):
@@ -230,7 +240,7 @@ class FactorGSM:
         multi = make_fused_eps_multistep(score_fn, len(params), batch_size,
                                          self.D, spc,
                                          big_prec=self.pallas_precision,
-                                         iters=self.ns_iters,
+                                         iters=self._iters(batch_size),
                                          interpret=self._interpret)
 
         @partial(jax.jit, static_argnums=1)
@@ -284,11 +294,12 @@ class FactorGSM:
         score = self.pallas_score if mode == "step" else None
         score_objs = (() if score is None else (score[0], *score[1]))
         audit_fn = self._runners.get(
-            ("audit", batch_size, mode, self.ns_iters,
+            ("audit", batch_size, mode, self._iters(batch_size),
              self.pallas_precision, self._interpret),
             (self.lp_g, *score_objs),
             lambda: make_gsm_audit(self.lp_g, batch_size, self.D,
-                                   self.ns_iters, self.pallas_precision,
+                                   self._iters(batch_size),
+                                   self.pallas_precision,
                                    interpret=self._interpret,
                                    pallas_score=score))
         self.audit_log = []
@@ -317,7 +328,7 @@ class FactorGSM:
             score_fn, params = self.pallas_score
             fused = make_fused_eps_step(score_fn, len(params), batch_size, d,
                                         big_prec=self.pallas_precision,
-                                        iters=self.ns_iters,
+                                        iters=self._iters(batch_size),
                                         external_eps=True,
                                         interpret=self._interpret)
 
@@ -344,7 +355,7 @@ class FactorGSM:
             return step
 
         if mode == "update":
-            ns_iters = self.ns_iters
+            ns_iters = self._iters(batch_size)
             big_prec = self.pallas_precision
             interpret = self._interpret
 
@@ -418,7 +429,8 @@ class FactorGSM:
                     # (K, D, D) factor once less per step.
                     mean, f, good = gsm_eps_update_ns_xla(
                         eps, vs, state.mean, state.factor,
-                        iters=self.ns_iters, big_prec=self.pallas_precision,
+                        iters=self._iters(batch_size),
+                        big_prec=self.pallas_precision,
                         ef_t=ef.astype(jnp.float32))
                 else:
                     mean, f, good = apply_eps_step(state.mean, state.factor,
@@ -553,7 +565,8 @@ class FactorGSM:
         def build():
             multi = make_fused_eps_batch_multistep(
                 score_fn, len(params), batch_size, d, k, spc,
-                iters=self.ns_iters, big_prec=self.pallas_precision,
+                iters=self._iters(batch_size),
+                big_prec=self.pallas_precision,
                 interpret=self._interpret)
 
             @partial(jax.jit, static_argnums=1)
@@ -588,7 +601,7 @@ class FactorGSM:
             return run_chunk
 
         return self._runners.get(
-            ("batch_fused", batch_size, k, spc, self.ns_iters,
+            ("batch_fused", batch_size, k, spc, self._iters(batch_size),
              self.pallas_precision, self._interpret),
             (score_fn, *params), build)
 

@@ -196,7 +196,7 @@ def _bam_smallspace_ns(e, v, mu, f, reg, *, batch: int,
                        iters=BAM_NS_ITERS_DEFAULT,
                        lmax_gate: float = LMAX_GATE_DEFAULT,
                        gu_gate: float = GU_GATE_DEFAULT,
-                       tol: float = 3e-3, big_prec=None):
+                       tol: float = 3e-3, big_prec=None, ef_t=None):
     """Loop-free BaM factor update on VMEM-sized values.
 
     Same math as ops/bam_eps.py (one exact rank-(B+1) BaM step in factor
@@ -287,15 +287,40 @@ def _bam_smallspace_ns(e, v, mu, f, reg, *, batch: int,
     tau = -4.0 * mm(mm(p2, p2), winv)
     tau = 0.5 * (tau + tau.T)
 
-    # F' = F W1 (I + Y tau Y^T); W1 applied through row tensors.
-    fom_t = mm_t(om_t, f, bp)                              # (F Om)^T
-    fw1 = f + t_mm(fom_t, mm(cu, om_t), bp)
-    fy = mm_t(fw1, y_t, bp)                                # Fw1 Y  (D, kpad)
-    f_new = fw1 + mm(mm(fy, tau), y_t, bp)
-    # Exact arithmetic gives S' <= V (tr via Frobenius of factors) — the
-    # same numerical-loss screen as the XLA path (ops/bam_eps.py:172-181).
+    # F' = F W1 (I + Y tau Y^T) = F + U1 w1row + (Fw1 Y) tau Y^T, applied
+    # as ONE (D, 2*kpad) fat contraction — the round-5 op-count/F-traffic
+    # restructure (same scheme as fused_step._eps_smallspace_ns).  All
+    # Fw1-dependent row objects come from already-available products:
+    #   (F Om)^T  = Om^T F^T, linear in the sampling product ef = e F^T;
+    #   Y^T F^T   = Q^T F^T + (cu Om^T Q)^T (F Om)^T;
+    #   (Fw1 Y)^T = Y^T F^T + (Y^T w1row^T) (F Om)^T.
+    # Fw1 itself is never materialized; its Frobenius norm (the S' <= V
+    # numerical-loss screen of the XLA path, ops/bam_eps.py:172-181) is
+    # assembled from small Grams: ||F W1||^2 = ||F||^2 + 2 tr(cu Gfom)
+    # ... via <F, U1 w1row> = sum((cu (F Om)^T) o (F Om)^T) and
+    # ||U1 w1row||^2 = sum((U1^T U1) o (w1row w1row^T)).
+    if ef_t is None:
+        fom_t = mm_t(om_t, f, bp)                          # (F Om)^T
+        ef_bar = None
+    else:
+        ef_bar = jnp.mean(ef_t, axis=0, keepdims=True)     # epsbar F^T
+        fom_t = jnp.concatenate(
+            [sru * (ef_t - ef_bar), -jnp.sqrt(r1) * ef_bar,
+             jnp.zeros((kpad - b - 1, d), jnp.float32)], axis=0)
+    w1row = mm(cu, om_t)                                   # (kpad, D)
+    cu_omq = mm(cu, omq)
+    qf = mm_t(q_t, f, bp)                                  # Q^T F^T
+    yf = qf + t_mm(cu_omq, fom_t)                          # Y^T F^T
+    yw1 = mm_t(y_t, w1row)                                 # (kpad, kpad)
+    fyT = yf + mm(yw1, fom_t)                              # (Fw1 Y)^T
+    u2row = mm(tau, fyT)                                   # (Fw1 Y tau)^T
+    stack_u = jnp.concatenate([fom_t, u2row], axis=0)      # (2 kpad, D)
+    stack_w = jnp.concatenate([w1row, y_t], axis=0)
+    f_new = f + t_mm(stack_u, stack_w, bp)
+    w1f = mm(cu, fom_t)                                    # w1row F^T
+    tr_v = (jnp.sum(f * f) + 2.0 * jnp.sum(w1f * fom_t)
+            + jnp.sum(mm_t(fom_t, fom_t) * mm_t(w1row, w1row)))
     tr_new = jnp.sum(f_new * f_new)
-    tr_v = jnp.sum(fw1 * fw1)
     good = (jnp.isfinite(tr_new)
             & (tr_new <= 1.05 * tr_v + 1e-6)
             & (res_u < tol) & (res_1 < tol) & (res_p < tol))
@@ -303,7 +328,8 @@ def _bam_smallspace_ns(e, v, mu, f, reg, *, batch: int,
     # mu' = mu/(1+reg) + r1 (S' gbar + xbar) through the factors.
     t1 = mm(gbar, f_new, bp)                               # gbar^T F'
     s_gbar = mm_t(t1, f_new, bp)                           # (1, D)
-    xbar = mu + mm_t(epsbar, f, bp)
+    xbar = mu + (ef_bar if ef_bar is not None
+                 else mm_t(epsbar, f, bp))
     mu_new = mu / (1.0 + reg) + r1 * (s_gbar + xbar)
     return mu_new, f_new, good, stiff, gu_ub, lmax_ub
 
@@ -432,14 +458,16 @@ def make_fused_bam_multistep(score_fn, n_params: int, batch: int, d: int,
             mu, f, n_done, n_acc, stopped, gu_last, lm_last = carry
             active = (j < nmax) & (stopped == 0)
             e = eps_ref[pl.ds(j * batch, batch), :]
-            x = mu + jax.lax.dot_general(
+            ef = jax.lax.dot_general(
                 e, f, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=_HI if big_prec is None else big_prec)
+            x = mu + ef
             v = score_fn(x, *params)
             mu_new, f_new, good, stiff, gu_ub, lmax_ub = _bam_smallspace_ns(
                 e, v, mu, f, regs_ref[j], batch=batch, iters=iters,
-                lmax_gate=lmax_gate, gu_gate=gu_gate, big_prec=big_prec)
+                lmax_gate=lmax_gate, gu_gate=gu_gate, big_prec=big_prec,
+                ef_t=ef)
             stop_now = active & (stiff | (stop_on_reject & ~good))
             consume = active & ~stop_now
             accept = consume & good

@@ -58,8 +58,24 @@ _HI = jax.lax.Precision.HIGHEST
 # Validated Newton-Schulz sweep counts (sqrt1, inv1, inv2, sqrt2, inv3) for
 # the in-kernel small space — the measured accuracy/speed frontier with the
 # sharp inf-norm seed (docs/BENCHMARKS.md).  Single source of truth: every
-# factory and FactorGSM default this tuple.
+# factory and FactorGSM default this tuple — FOR B <= 32, where it was
+# tuned.  Round-5 finding: the profile is BATCH-dependent — at B >= 64 the
+# (B, B) Grams' spectra widen and the short chains go silently biased
+# (zero rejections, converged cov_err 0.012/0.049/0.21 at B=64/128/512 on
+# the D=256 bench target) while the longer profile below matches the exact
+# Cholesky path (2e-4/1.9e-4/3.7e-3) — measured CPU study 2026-08-21,
+# .scratch/r5_bstudy*.log.  Use ``ns_iters_for_batch``.
 NS_ITERS_DEFAULT = (5, 4, 6, 7, 4)
+NS_ITERS_LARGE_B = (8, 6, 9, 10, 6)
+
+
+def ns_iters_for_batch(b: int, override=None):
+    """Batch-aware default NS profile (round 5): the short profile is
+    validated at B <= 32 only; larger Monte-Carlo batches need the longer
+    chains (see NS_ITERS_DEFAULT note).  ``override`` wins when given."""
+    if override is not None:
+        return tuple(override)
+    return NS_ITERS_DEFAULT if b <= 32 else NS_ITERS_LARGE_B
 
 
 def _compiler_params(interpret: bool):

@@ -30,7 +30,7 @@ def test_auto_routes_to_factor_on_tpu_and_matches_factorgsm(monkeypatch,
                                                             target):
     t = target
     g = _tpu_gsm(monkeypatch, t)
-    assert g._factor_route(True)
+    assert g._factor_route(True, 8)
     m, c = g.fit(jax.random.PRNGKey(0), niter=400, batch_size=8,
                  verbose=False)
     fg = FactorGSM(D=t.d, lp=t.lp, lp_g=t.lp_g)
@@ -47,13 +47,13 @@ def test_auto_routes_to_factor_on_tpu_and_matches_factorgsm(monkeypatch,
 def test_off_tpu_auto_keeps_dense_path(target):
     t = target
     g = GSM(D=t.d, lp=t.lp, lp_g=t.lp_g)
-    assert not g._factor_route(True)  # CPU tests: on_tpu() is False
+    assert not g._factor_route(True, 8)  # CPU tests: on_tpu() is False
 
 
 def test_use_factor_true_forces_route_anywhere(target):
     t = target
     g = GSM(D=t.d, lp=t.lp, lp_g=t.lp_g, use_factor=True)
-    assert g._factor_route(True)
+    assert g._factor_route(True, 8)
     m, c = g.fit(jax.random.PRNGKey(0), niter=400, batch_size=8,
                  verbose=False)
     assert float(np.max(np.abs(np.asarray(m) - np.asarray(t.mean)))) < 0.05
@@ -65,7 +65,7 @@ def test_use_factor_false_keeps_dense_trajectory(monkeypatch, target):
     m_ref, c_ref = g_dense.fit(jax.random.PRNGKey(0), niter=100,
                                batch_size=8, verbose=False)
     g = _tpu_gsm(monkeypatch, t, use_factor=False)
-    assert not g._factor_route(True)
+    assert not g._factor_route(True, 8)
     m, c = g.fit(jax.random.PRNGKey(0), niter=100, batch_size=8,
                  verbose=False)
     # Same dense step on both sides (the XLA op sequence; the fused update
@@ -79,7 +79,7 @@ def test_sharded_sigma_configs_keep_dense_path(monkeypatch, target):
     factor route cannot honor them and must not engage."""
     t = target
     g = _tpu_gsm(monkeypatch, t, chol_block=2)
-    assert not g._factor_route(True)
+    assert not g._factor_route(True, 8)
 
 
 def test_return_state_is_vistate_with_consistent_chol(monkeypatch, target):
@@ -124,3 +124,20 @@ def test_numpy_lp_g_still_uses_dense_eager_path(monkeypatch, target):
     m, c = g.fit(jax.random.PRNGKey(0), niter=60, batch_size=8,
                  verbose=False)
     assert np.all(np.isfinite(np.asarray(m)))
+
+
+def test_huge_batch_keeps_dense_path(monkeypatch, target):
+    """B >= 128 with 2B > D keeps the dense route (round-5 batch sweep:
+    the rank-2B eps small space is then no smaller than the dense problem
+    and measurably ~10x slower at D=256/B=512); explicit use_factor=True
+    warns.  Small-B configs are unaffected."""
+    t = target
+    g = _tpu_gsm(monkeypatch, t)
+    assert g._factor_route(True, 8)            # small B: factor route
+    assert not g._factor_route(True, 128)      # 2*128 > 6, B >= 128: dense
+    big = _tpu_gsm(monkeypatch, t)
+    big.D = 1024
+    assert big._factor_route(True, 128)        # 2B=256 <= 1024: factor
+    g_force = _tpu_gsm(monkeypatch, t, use_factor=True)
+    with pytest.warns(UserWarning, match="2\\*batch_size > D"):
+        assert not g_force._factor_route(True, 128)
