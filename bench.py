@@ -56,7 +56,9 @@ NITER_BAM_FACTOR = {64: 40000, 256: 30000, 512: 12000, 1024: 10000}
 # ~4 s (the round-3 driver artifact underread it 4.9x at a 1.1 s window
 # with no host-side contention flag — device-side tunnel contention, which
 # the dispatch sentinel cannot see; see _device_sentinel_s).
-NITER_BAM_FUSED = {64: 150_000, 256: 100_000, 512: 50_000, 1024: 60_000}
+# Round-5 restructured rates (quiet box): 169.8k/61.3k/50.9k/17.8k at
+# 64/256/512/1024 — windows sized to >=1.5 s at those rates.
+NITER_BAM_FUSED = {64: 250_000, 256: 120_000, 512: 80_000, 1024: 60_000}
 # ADVI's step is fast (measured 67 us raw at D=1024) but short fits are
 # measurement-floor-bound on the tunneled device; budgets sized so the
 # differential window is >~1 s of compute (cells with shorter windows

@@ -340,10 +340,16 @@ def bam_fused_supported(b: int, d: int, steps_per_call: int = 1,
 
     Budget: f in/out + fw1/fy/f_new intermediates (~6 D^2), the
     ``steps_per_call`` external eps block, ~8 (B, D) row tensors, ~12
-    (B+8)^2 small tiles, and the score params at their real sizes."""
+    (B+8)^2 small tiles, and the score params at their real sizes.
+
+    Batch cap (round 5): at B > 128 the five NS chains run on
+    (B+8)^2 >~ 136^2 tiles — the kernel is measured slower than the XLA
+    SVD route there (~1k it/s at B=512/D=256) and the restructured kernel
+    at B=512 overwhelms the Mosaic compiler (remote-compile 500s); large-B
+    BaM legitimately belongs to the XLA path."""
     if not _HAS_PLTPU:
         return False
-    if b < 4 or b % 4 != 0:
+    if b < 4 or b % 4 != 0 or b > 128:
         return False
     kpad = b + 8
     vmem = 6 * d * d * itemsize + 2 * steps_per_call * b * d * itemsize \

@@ -611,3 +611,64 @@ def test_fused_trajectory_invariance_with_stiff_adoption(rng, monkeypatch):
     np.testing.assert_array_equal(np.asarray(s2.ns_stats),
                                   np.asarray(s5.ns_stats))
     assert int(s2.n_accepted) == int(s5.n_accepted)
+
+
+def test_restructured_core_matches_materialized_fw1(rng):
+    """Round-5 restructure invariants, pinned against the direct algebra:
+    the never-materialized Fw1's Frobenius screen (assembled from small
+    Grams) and the fat-apply F' must match explicitly materialized
+    Fw1 = F + (F Om)(cu Om^T) and F' = Fw1 + (Fw1 Y) tau Y^T."""
+    import jax.numpy as jnp
+
+    from gsmvi_tpu.ops.pallas.bam_fused import _bam_smallspace_ns
+
+    b, d = 8, 24
+    e = jnp.asarray(rng.normal(size=(b, d)), jnp.float32)
+    v = jnp.asarray(-0.4 * rng.normal(size=(b, d)), jnp.float32)
+    mu = jnp.asarray(rng.normal(size=(1, d)), jnp.float32)
+    f = (jnp.eye(d, dtype=jnp.float32)
+         + 0.05 * jnp.asarray(rng.normal(size=(d, d)), jnp.float32))
+    reg = jnp.float32(20.0)
+    with jax.default_matmul_precision("float32"):
+        ef = e @ f.T
+        mu_n, f_n, good, stiff, gu_ub, lmax_ub = _bam_smallspace_ns(
+            e, v, mu, f, reg, batch=b, ef_t=ef)
+        mu_n2, f_n2, good2, stiff2, gu2, lm2 = _bam_smallspace_ns(
+            e, v, mu, f, reg, batch=b, ef_t=None)
+    # ef_t passed vs recomputed: identical math, f32-rounding-close.
+    np.testing.assert_allclose(np.asarray(f_n), np.asarray(f_n2),
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(mu_n), np.asarray(mu_n2),
+                               rtol=0, atol=2e-5)
+    assert bool(good) == bool(good2) and bool(stiff) == bool(stiff2)
+    # Against the pre-restructure direct algebra (f64 oracle):
+    import numpy as onp
+
+    e64, v64, f64 = (onp.asarray(x, onp.float64) for x in (e, v, f))
+    r = float(reg)
+    r1 = r / (1 + r)
+    ebar = e64.mean(0, keepdims=True)
+    gbar = v64.mean(0, keepdims=True)
+    sru = onp.sqrt(r / b)
+    kpad = b + 8
+    pad = onp.zeros((kpad - b - 1, d))
+    om_t = onp.concatenate([sru * (e64 - ebar), -onp.sqrt(r1) * ebar, pad], 0)
+    fu_t = onp.concatenate([sru * (v64 - gbar), onp.sqrt(r1) * gbar, pad], 0)
+    eye = onp.eye(kpad)
+    gu = om_t @ om_t.T
+    wu, qu = onp.linalg.eigh(eye + gu)
+    cu = qu @ onp.diag(1.0 / (1.0 + onp.sqrt(wu))) @ qu.T
+    q_t = fu_t @ f64
+    y_t = q_t + (cu @ (om_t @ q_t.T)).T @ om_t
+    g = y_t @ y_t.T
+    wg, qg = onp.linalg.eigh(0.5 * (g + g.T))
+    wg = onp.maximum(wg, 0)
+    sig = 2.0 / (1.0 + onp.sqrt(1.0 + 4.0 * wg))
+    # psi is regular at l = 0 with limit -1/2 (only the zero-padding rows
+    # land there; their Y columns are zero so the value is inert anyway).
+    psi = onp.where(wg > 1e-12, (onp.sqrt(sig) - 1.0) / onp.maximum(wg, 1e-12),
+                    -0.5 * onp.ones_like(wg))
+    tau = qg @ onp.diag(psi) @ qg.T
+    fw1 = f64 + (om_t @ f64.T).T @ (cu @ om_t)
+    f_new64 = fw1 + (fw1 @ y_t.T) @ tau @ y_t
+    np.testing.assert_allclose(np.asarray(f_n), f_new64, rtol=0, atol=5e-4)
