@@ -56,9 +56,11 @@ NITER_BAM_FACTOR = {64: 40000, 256: 30000, 512: 12000, 1024: 10000}
 # ~4 s (the round-3 driver artifact underread it 4.9x at a 1.1 s window
 # with no host-side contention flag — device-side tunnel contention, which
 # the dispatch sentinel cannot see; see _device_sentinel_s).
-# Round-5 restructured rates (quiet box): 169.8k/61.3k/50.9k/17.8k at
-# 64/256/512/1024 — windows sized to >=1.5 s at those rates.
-NITER_BAM_FUSED = {64: 250_000, 256: 120_000, 512: 80_000, 1024: 60_000}
+# Round-5 restructured rates (quiet box, corroborated): 77.8k/54.4k/45.6k/
+# 14.9k at 64/256/512/1024 — windows >=1.5 s; the 1024 cell gets ~7 s (its
+# round-3/round-5 driver runs read 2-4x low in shorter windows from
+# device-side tunnel dips the sentinels cannot always catch).
+NITER_BAM_FUSED = {64: 250_000, 256: 120_000, 512: 80_000, 1024: 100_000}
 # ADVI's step is fast (measured 67 us raw at D=1024) but short fits are
 # measurement-floor-bound on the tunneled device; budgets sized so the
 # differential window is >~1 s of compute (cells with shorter windows
@@ -173,6 +175,17 @@ def _contended():
     dev_hot = _device_sentinel_s() > max(
         1.6 * _SENTINEL["dev_quiet_s"], _SENTINEL["dev_quiet_s"] + 0.1)
     return host_hot or dev_hot
+
+
+def _crash_recover(e: Exception):
+    """The tunneled TPU worker occasionally crashes on heavy programs
+    ("UNAVAILABLE: TPU worker process crashed or restarted") and comes back
+    by itself; without a pause every subsequent cell errors too (measured:
+    the round-5 run-C batch sweep lost 3 cells to one crash).  Sleep long
+    enough for the worker to reconnect before the next cell."""
+    msg = str(e)
+    if "UNAVAILABLE" in msg or "crashed" in msg or "restarted" in msg:
+        time.sleep(75.0)
 
 
 def _targets():
@@ -338,6 +351,7 @@ def bench_matrix(targets):
             results.setdefault(name, {})[str(d)] = cell
         except Exception as e:  # record the failure, keep benching
             results.setdefault(name, {})[str(d)] = {"error": str(e)[:200]}
+            _crash_recover(e)
 
     def gsm_run(t, **kw):
         g = GSM(D=t.d, lp=t.lp, lp_g=t.lp_g, **kw)
@@ -530,6 +544,7 @@ def fit_batch_evidence(targets):
                 }
             except Exception as e:
                 out[f"D{d}_K{k}_{solver}"] = {"error": str(e)[:200]}
+                _crash_recover(e)
     return out
 
 
@@ -577,8 +592,20 @@ def batch_sweep(targets):
                 }
             except Exception as e:
                 out[f"gsm_fused_D{d}_B{b}"] = {"error": str(e)[:200]}
+                _crash_recover(e)
             if d != 256:
                 continue  # BaM sweep at the primary D only (compile budget)
+            if b > 128:
+                # The fused BaM kernel is batch-capped at 128 (gate note in
+                # ops/pallas/bam_fused.py) and the XLA SVD route at B=512
+                # destabilizes the tunneled worker (run-C crash took out
+                # the rest of the sweep) — record the cap instead.
+                out[f"bam_fused_D{d}_B{b}"] = {
+                    "skipped": "fused kernel batch-capped at B<=128; "
+                               "large-B BaM runs the XLA SVD route "
+                               "(~261 it/s measured at B=512, "
+                               ".scratch/r5_probe7.json)"}
+                continue
             try:
                 gb = FactorBaM(D=t.d, lp=t.lp, lp_g=t.lp_g,
                                pallas_score=t.pallas_score)
@@ -595,6 +622,7 @@ def batch_sweep(targets):
                 }
             except Exception as e:
                 out[f"bam_fused_D{d}_B{b}"] = {"error": str(e)[:200]}
+                _crash_recover(e)
     return out
 
 
